@@ -1,0 +1,101 @@
+"""Unified configuration tree.
+
+The reference scatters its tuning constants across modules (SURVEY.md §5.6):
+voxel 0.3 (ply.py:32), RANSAC threshold 1.5*voxel (ransac.py:41), ICP threshold
+0.4*voxel (icp.py:41), normal/FPFH radii 2x/5x voxel (ply.py:111,119), RANSAC
+confidence 0.999 (ransac.py:58), loader noise sigma 0.05 (ply.py:61), GUI-loop
+settings (_visualize_matcher.py:151-173).  Here every constant lives in one
+frozen dataclass tree with the reference values as defaults, so parity runs are
+reproducible, and the leaves are hashable so configs can be jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Ingest + preprocessing (reference: src/ply/ply.py:87-135)."""
+
+    voxel_size: float = 0.3  # ply.py:32
+    normal_radius_mult: float = 2.0  # ply.py:111 (radius = 2 * voxel)
+    normal_max_nn: int = 30  # ply.py:111
+    fpfh_radius_mult: float = 5.0  # ply.py:119 (radius = 5 * voxel)
+    fpfh_max_nn: int = 100  # ply.py:119
+    # The reference *always* injects Gaussian noise sigma=0.05 into the
+    # downsampled cloud (ply.py:59-62).  Here it is opt-in (SURVEY.md §0).
+    noise_sigma: float = 0.0
+    reference_noise_sigma: float = 0.05  # value to use for parity runs
+
+    @property
+    def normal_radius(self) -> float:
+        return self.voxel_size * self.normal_radius_mult
+
+    @property
+    def fpfh_radius(self) -> float:
+        return self.voxel_size * self.fpfh_radius_mult
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Global registration (reference: src/matcher/ransac.py:20-58 and the
+    hand-rolled loop _visualize_matcher.py:343-466)."""
+
+    voxel_size: float = 0.3
+    dist_thresh_mult: float = 1.5  # ransac.py:41
+    max_iterations: int = 100_000  # hypothesis budget (reference default 30 for
+    # the built-in path, 10k for the GUI loop)
+    confidence: float = 0.999  # ransac.py:58
+    sample_size: int = 3  # ransac.py:50
+    mutual_filter: bool = True  # ransac.py:47
+    edge_length_ratio: float = 0.9  # ransac.py:53 checker
+    use_checkers: bool = True
+    # Batched execution: hypotheses fitted+scored per device dispatch.
+    batch_size: int = 4096
+    # Early stop (GUI-loop semantics, _visualize_matcher.py:163-167,432-450):
+    early_stop_enabled: bool = True
+    early_stop_min_fitness: float = 0.0  # score floor before early stop applies
+    # Correspondence noise injection for robustness testing (ransac.py:89-99):
+    noise_ratio: float = 0.0
+
+    @property
+    def dist_thresh(self) -> float:
+        return self.voxel_size * self.dist_thresh_mult
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """ICP refinement (reference: src/matcher/icp.py:17-48; convergence
+    defaults mirror Open3D's ICPConvergenceCriteria)."""
+
+    voxel_size: float = 0.3
+    dist_thresh_mult: float = 0.4  # icp.py:41
+    max_iterations: int = 30
+    relative_fitness: float = 1e-6
+    relative_rmse: float = 1e-6
+    point_to_plane: bool = True  # icp.py:47
+
+    @property
+    def dist_thresh(self) -> float:
+        return self.voxel_size * self.dist_thresh_mult
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Full registration pipeline configuration."""
+
+    preprocess: PreprocessConfig = PreprocessConfig()
+    ransac: RansacConfig = RansacConfig()
+    icp: IcpConfig = IcpConfig()
+
+    @staticmethod
+    def with_voxel_size(voxel_size: float, **kw) -> "PipelineConfig":
+        """Build a config with a consistent voxel size threaded through every
+        stage — fixing the reference's stale-call-site bug where voxel_size was
+        dropped on the floor (src/main.py:34,38 vs ransac.py:20-24)."""
+        return PipelineConfig(
+            preprocess=PreprocessConfig(voxel_size=voxel_size),
+            ransac=RansacConfig(voxel_size=voxel_size, **kw.get("ransac", {})),
+            icp=IcpConfig(voxel_size=voxel_size, **kw.get("icp", {})),
+        )

@@ -1,0 +1,137 @@
+"""Synthetic point-cloud generators.
+
+Two roles:
+  1. Test fixtures — the degenerate-geometry generators mirror the reference's
+     crash-test suite (test_ransac_crash.py:27-79: minimal-N, collinear,
+     coplanar, all-duplicate clouds).
+  2. Benchmark data — the reference's ``3d_data/`` PLYs are git-ignored and not
+     shipped, so benchmark pairs are generated: a dental-arch-like surface
+     (matching the reference data's shape class, convert_stl-ply.py:3) at a
+     controllable density, plus partial-overlap cropping to emulate
+     ``trim_ply.py`` pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def minimal_cloud(n: int = 3, seed: int = 0) -> np.ndarray:
+    """N random points (reference: test_ransac_crash.py:27-39)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, size=(n, 3))
+
+
+def collinear_cloud(n: int = 10, seed: int = 0) -> np.ndarray:
+    """Points on a line (reference: test_ransac_crash.py:42-52)."""
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return t * np.array([[1.0, 2.0, 3.0]])
+
+
+def coplanar_cloud(n: int = 16, seed: int = 0) -> np.ndarray:
+    """Points on a plane (reference: test_ransac_crash.py:55-66)."""
+    rng = np.random.default_rng(seed)
+    uv = rng.uniform(-1.0, 1.0, size=(n, 2))
+    e1 = np.array([1.0, 0.0, 0.5])
+    e2 = np.array([0.0, 1.0, -0.25])
+    return uv[:, :1] * e1 + uv[:, 1:] * e2
+
+
+def duplicate_cloud(n: int = 10) -> np.ndarray:
+    """All-identical points (reference: test_ransac_crash.py:69-79)."""
+    return np.tile(np.array([[0.5, -0.25, 1.0]]), (n, 1))
+
+
+def random_cloud(n: int = 1000, scale: float = 1.0, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-scale, scale, size=(n, 3))
+
+
+def sphere_cloud(n: int = 2000, radius: float = 1.0, seed: int = 0) -> np.ndarray:
+    """Uniform points on a sphere surface — simple geometry with known normals."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return radius * v
+
+
+def dental_arch_cloud(
+    n: int = 20_000,
+    *,
+    seed: int = 0,
+    noise: float = 0.0,
+) -> np.ndarray:
+    """Dental-arch-like surface: a U-shaped half-tube with cusp bumps.
+
+    Stands in for the reference's tooth-scan data (convert_stl-ply.py:3
+    "Tooth36_full.stl"): a curved ridged surface a few units across, giving
+    realistic FPFH feature variation.  Scaled so voxel_size=0.3 downsamples
+    ~20k points to a few thousand, like the reference configuration.
+    """
+    rng = np.random.default_rng(seed)
+    # Parametrize: u along the arch (angle), v across the tube section.
+    u = rng.uniform(-0.5 * np.pi, 0.5 * np.pi, size=n)
+    v = rng.uniform(0.0, np.pi, size=n)
+    arch_r = 5.0  # arch radius
+    tube_r = 1.2 + 0.35 * np.sin(6.0 * u) * np.sin(2.0 * v)  # cusps
+    cx = arch_r * np.sin(u)
+    cy = arch_r * (np.cos(u) - 1.0)
+    x = cx + tube_r * np.cos(v) * np.sin(u) * 0.4
+    y = cy + tube_r * np.cos(v) * np.cos(u) * 0.4
+    z = tube_r * np.sin(v)
+    pts = np.stack([x, y, z], axis=1)
+    # Surface roughness
+    if noise > 0:
+        pts += noise * rng.standard_normal(pts.shape)
+    return pts
+
+
+def crop_fraction(points: np.ndarray, fraction: float, axis: int = 0) -> np.ndarray:
+    """Axis-aligned crop keeping the lower ``fraction`` of points along
+    ``axis`` — the headless analog of the reference's interactive trim
+    (trim_ply.py:4-41), used to build partial-overlap pairs."""
+    lo = points[:, axis].min()
+    hi = points[:, axis].max()
+    keep = points[:, axis] <= lo + fraction * (hi - lo)
+    return points[keep]
+
+
+def make_benchmark_pair(
+    n: int = 20_000,
+    *,
+    seed: int = 0,
+    overlap: float = 1.0,
+    sigma: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(source_points, target_points, true_T) benchmark fixture.
+
+    Source = arch cloud; target = (optionally cropped) copy transformed by a
+    random rigid T of the reference's test magnitude (±30 deg, ±0.1 trans —
+    _visualize_matcher.py:300-325), with optional Gaussian sensor noise.
+    Registration should recover ``true_T`` (target <- source).
+    """
+    rng = np.random.default_rng(seed)
+    src = dental_arch_cloud(n, seed=seed)
+    tgt = src.copy()
+    if overlap < 1.0:
+        tgt = crop_fraction(tgt, overlap, axis=0)
+    angles = rng.uniform(-np.pi / 6, np.pi / 6, size=3)
+
+    def rot(a, b, c):
+        rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+        ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+        rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    R = rot(*angles)
+    t = rng.uniform(-0.5, 0.5, size=3)
+    center = src.mean(axis=0)
+    offset = -R @ center + center + t
+    tgt = tgt @ R.T + offset
+    if sigma > 0:
+        tgt = tgt + sigma * rng.standard_normal(tgt.shape)
+        src = src + sigma * rng.standard_normal(src.shape)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = offset
+    return src, tgt, T

@@ -1,0 +1,145 @@
+"""Normal estimation: blocked radius-covariance + closed-form 3x3 eigen.
+
+Replaces Open3D's KDTree-based ``estimate_normals`` (reference calls:
+ply.py:110-112 on the downsampled cloud, ply.py:123-135 full-res; radius =
+2 * voxel, max 30 neighbours).  TPU-native formulation: the per-point
+neighbourhood covariance over a radius is accumulated blockwise from pairwise
+distances —
+
+    count_i  = sum_j m_ij                 (VPU reduce)
+    sum_i    = M @ P                      ([TQ,TN] x [TN,3]  -> MXU)
+    sumsq_i  = M @ P2                     ([TQ,TN] x [TN,6]  -> MXU, P2 = unique
+                                           entries of p p^T per target point)
+
+so the hot loop is matmuls, not tree traversal.  The smallest eigenvector of
+the covariance is the normal (ops/eigh3).
+
+Deviations from Open3D, by design (documented):
+  - no max_nn=30 cap: all neighbours in the radius contribute (the cap is a
+    KDTree-cost bound, not an accuracy feature; radius dominates the estimate);
+  - orientation: normals point outward from the cloud centroid
+    (rotation-equivariant and deterministic; Open3D leaves eigensolver sign).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dm.core.cloud import PAD_SENTINEL, PointCloud
+from tpu3dm.ops.eigh3 import smallest_eigvec_sym3
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def radius_covariance_stats(
+    points: jax.Array,
+    mask: jax.Array,
+    radius: jax.Array | float,
+    *,
+    chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Blockwise neighbourhood statistics within ``radius`` (self included).
+
+    Returns (count [N], sum [N,3], sumsq [N,6]) where sumsq rows hold the
+    unique entries (xx, yy, zz, xy, xz, yz) of sum of p p^T over neighbours.
+    """
+    n, _ = points.shape
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    safe = jnp.where(mask[:, None], points, PAD_SENTINEL)
+    p2cols = jnp.stack(
+        [
+            points[:, 0] * points[:, 0],
+            points[:, 1] * points[:, 1],
+            points[:, 2] * points[:, 2],
+            points[:, 0] * points[:, 1],
+            points[:, 0] * points[:, 2],
+            points[:, 1] * points[:, 2],
+        ],
+        axis=1,
+    )  # [N, 6]
+
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    tgt = jnp.concatenate([safe, jnp.full((pad, 3), PAD_SENTINEL)], axis=0) if pad else safe
+    tgt_feats = (
+        jnp.concatenate([p2cols, jnp.zeros((pad, 6), jnp.float32)], axis=0)
+        if pad
+        else p2cols
+    )
+    tgt_valid = (
+        jnp.concatenate([mask, jnp.zeros((pad,), bool)], axis=0) if pad else mask
+    )
+    nb = tgt.shape[0] // chunk
+    tb = tgt.reshape(nb, chunk, 3)
+    fb = tgt_feats.reshape(nb, chunk, 6)
+    vb = tgt_valid.reshape(nb, chunk)
+    tsq = jnp.sum(tb * tb, axis=-1)  # [nb, chunk]
+    qsq = jnp.sum(safe * safe, axis=-1)  # [N]
+
+    def body(carry, blk):
+        cnt, s, ss = carry
+        t, f, v, t2 = blk
+        cross = safe @ t.T  # [N, chunk] MXU
+        d2 = qsq[:, None] + t2[None, :] - 2.0 * cross
+        m = (d2 <= r2) & v[None, :]
+        mf = m.astype(jnp.float32)
+        cnt = cnt + jnp.sum(mf, axis=1)
+        s = s + mf @ t  # [N,3] MXU
+        ss = ss + mf @ f  # [N,6] MXU
+        return (cnt, s, ss), None
+
+    init = (
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 6), jnp.float32),
+    )
+    (cnt, s, ss), _ = jax.lax.scan(body, init, (tb, fb, vb, tsq))
+    return cnt, s, ss
+
+
+def _covariance_from_stats(cnt, s, ss):
+    """[N,3,3] covariance from accumulated moments."""
+    k = jnp.maximum(cnt, 1.0)[:, None]
+    mean = s / k
+    exx = ss / k  # E[p p^T] unique entries
+    cov = jnp.stack(
+        [
+            exx[:, 0] - mean[:, 0] * mean[:, 0],
+            exx[:, 3] - mean[:, 0] * mean[:, 1],
+            exx[:, 4] - mean[:, 0] * mean[:, 2],
+            exx[:, 3] - mean[:, 0] * mean[:, 1],
+            exx[:, 1] - mean[:, 1] * mean[:, 1],
+            exx[:, 5] - mean[:, 1] * mean[:, 2],
+            exx[:, 4] - mean[:, 0] * mean[:, 2],
+            exx[:, 5] - mean[:, 1] * mean[:, 2],
+            exx[:, 2] - mean[:, 2] * mean[:, 2],
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+    return cov
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def estimate_normals(
+    pc: PointCloud,
+    radius: jax.Array | float,
+    *,
+    chunk: int = 1024,
+) -> PointCloud:
+    """Per-point unit normals from radius-neighbourhood covariance.
+
+    Orientation: outward from the cloud centroid (see module docstring).
+    Points with < 3 neighbours get the degenerate fallback direction.
+    """
+    cnt, s, ss = radius_covariance_stats(pc.points, pc.mask, radius, chunk=chunk)
+    cov = _covariance_from_stats(cnt, s, ss)
+    _, v = smallest_eigvec_sym3(cov)
+    # Orient outward from the global centroid (rotation-equivariant).
+    c = pc.centroid()
+    outward = pc.points - c[None, :]
+    flip = jnp.sum(v * outward, axis=1) < 0.0
+    v = jnp.where(flip[:, None], -v, v)
+    v = jnp.where(pc.mask[:, None], v, 0.0)
+    return pc.with_(normals=v)
