@@ -1,0 +1,147 @@
+"""NN search, RANSAC scoring, and 3x3 eigen ops vs NumPy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dm.ops.eigh3 import eigvals_sym3, smallest_eigvec_sym3
+from tpu3dm.ops.nn import nn_search_pallas, nn_search_xla
+from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+
+
+def brute_nn(q, t):
+    d2 = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    return d2.min(1), d2.argmin(1)
+
+
+@pytest.mark.parametrize("nq,nt,d", [(100, 200, 3), (257, 515, 3), (64, 64, 33)])
+def test_nn_xla_matches_brute(nq, nt, d):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    t = rng.normal(size=(nt, d)).astype(np.float32)
+    d2, idx = nn_search_xla(jnp.asarray(q), jnp.asarray(t))
+    bd2, bidx = brute_nn(q, t)
+    np.testing.assert_array_equal(np.asarray(idx), bidx)
+    np.testing.assert_allclose(np.asarray(d2), bd2, atol=1e-4)
+
+
+def test_nn_xla_respects_target_mask():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(50, 3)).astype(np.float32)
+    t = rng.normal(size=(80, 3)).astype(np.float32)
+    tmask = np.ones(80, bool)
+    tmask[40:] = False
+    d2, idx = nn_search_xla(jnp.asarray(q), jnp.asarray(t), None, jnp.asarray(tmask))
+    bd2, bidx = brute_nn(q, t[:40])
+    np.testing.assert_array_equal(np.asarray(idx), bidx)
+    np.testing.assert_allclose(np.asarray(d2), bd2, atol=1e-4)
+
+
+@pytest.mark.parametrize("nq,nt", [(200, 300), (513, 1025)])
+def test_nn_pallas_interpret_matches_xla(nq, nt):
+    """Pallas kernel in interpreter mode (CPU) must agree with the XLA oracle."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32))
+    d2x, idxx = nn_search_xla(q, t)
+    d2p, idxp = nn_search_pallas(q, t, tile_q=128, tile_t=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idxp), np.asarray(idxx))
+    np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2x), atol=1e-4)
+
+
+def _random_rigid(rng, k):
+    from scipy.stats import special_ortho_group  # not available -> fallback
+
+    raise RuntimeError
+
+
+def random_rotations(rng, k):
+    """Random rotations via QR of gaussians with det fix."""
+    A = rng.normal(size=(k, 3, 3))
+    Q, _ = np.linalg.qr(A)
+    det = np.linalg.det(Q)
+    Q[:, :, 0] *= np.sign(det)[:, None]
+    return Q.astype(np.float32)
+
+
+def brute_score(R, t, p, q, mask, thresh_sq):
+    moved = np.einsum("kij,nj->kni", R, p) + t[:, None, :]
+    d2 = ((moved - q[None]) ** 2).sum(-1)
+    return ((d2 < thresh_sq) & mask[None, :]).sum(1)
+
+
+@pytest.mark.parametrize("k,n", [(16, 100), (37, 515)])
+def test_score_xla_matches_brute(k, n):
+    rng = np.random.default_rng(3)
+    R = random_rotations(rng, k)
+    t = rng.normal(size=(k, 3)).astype(np.float32) * 0.1
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    # targets: roughly transformed copies so some hypotheses have inliers
+    q = np.einsum("ij,nj->ni", R[0], p) + t[0] + 0.05 * rng.normal(size=(n, 3)).astype(np.float32)
+    mask = rng.random(n) > 0.1
+    thresh = 0.45**2
+    counts = score_hypotheses_xla(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(p), jnp.asarray(q),
+        jnp.asarray(mask), thresh,
+    )
+    expect = brute_score(R, t, p, q, mask, thresh)
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+    assert expect[0] > 0  # sanity: hypothesis 0 really matches
+
+
+def test_score_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(4)
+    k, n = 64, 300
+    R = random_rotations(rng, k)
+    t = rng.normal(size=(k, 3)).astype(np.float32)
+    p = rng.normal(size=(n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    thresh = 1.0
+    cx = score_hypotheses_xla(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(p), jnp.asarray(q),
+        jnp.asarray(mask), thresh,
+    )
+    cp = score_hypotheses_pallas(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(p), jnp.asarray(q),
+        jnp.asarray(mask), thresh, tile_k=128, tile_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(cp), np.asarray(cx))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_eigh3_matches_numpy(seed):
+    rng = np.random.default_rng(seed)
+    B = rng.normal(size=(200, 3, 3)).astype(np.float32)
+    A = B @ B.transpose(0, 2, 1)  # PSD symmetric
+    evals = eigvals_sym3(jnp.asarray(A))
+    expect = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(evals), expect, atol=1e-3 * np.abs(expect).max())
+
+
+def test_smallest_eigvec():
+    rng = np.random.default_rng(5)
+    B = rng.normal(size=(100, 3, 3)).astype(np.float32)
+    A = B @ B.transpose(0, 2, 1)
+    lam, v = smallest_eigvec_sym3(jnp.asarray(A))
+    lam = np.asarray(lam)
+    v = np.asarray(v)
+    # A v = lambda v
+    resid = np.einsum("nij,nj->ni", A, v) - lam[:, None] * v
+    assert np.abs(resid).max() < 1e-2
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+
+
+def test_eigh3_degenerate():
+    """Isotropic and rank-deficient matrices do not produce NaN."""
+    A = jnp.stack([
+        jnp.eye(3),                      # isotropic
+        jnp.zeros((3, 3)),               # zero
+        jnp.diag(jnp.array([1.0, 1.0, 0.0])),  # plane covariance
+    ])
+    lam, v = smallest_eigvec_sym3(A)
+    assert np.isfinite(np.asarray(lam)).all()
+    assert np.isfinite(np.asarray(v)).all()
+    # plane covariance: smallest eigenvector is the plane normal z
+    np.testing.assert_allclose(np.abs(np.asarray(v[2])), [0, 0, 1], atol=1e-5)

@@ -123,7 +123,7 @@ def _nn_kernel(q_ref, t_ref, tsq_ref, d2_ref, idx_ref):
 
     @pl.when(j == 0)
     def _init():
-        d2_ref[:, :] = jnp.full_like(d2_ref, BIG)
+        d2_ref[:, :] = jnp.full_like(d2_ref, 1.0e30)
         idx_ref[:, :] = jnp.zeros_like(idx_ref)
 
     q = q_ref[:, :]  # [TQ, D]

@@ -1,0 +1,100 @@
+"""Ingest + preprocessing pipeline — the TPU-native ``Ply`` equivalent.
+
+Mirrors the reference loader's stages (src/ply/ply.py:32-135): load → voxel
+downsample → estimate normals (radius 2*voxel) → FPFH (radius 5*voxel) →
+optional Gaussian noise on the downsampled cloud → full-res normals for
+point-to-plane ICP.
+
+Parity notes:
+  - The reference injects noise *after* FPFH is computed (ply.py:57-62):
+    features describe the clean geometry, RANSAC scoring sees noisy points.
+    Same order here.
+  - Reference noise is unconditional sigma=0.05; here it is opt-in via
+    ``PreprocessConfig.noise_sigma`` (SURVEY.md flags the always-on noise as
+    test behaviour baked into the loader).
+  - Downsampling output size is data-dependent, so the downsample runs at the
+    raw capacity and is host-compacted to a tight bucket before the O(N^2)
+    feature stages — one host sync per cloud, matching the reference's one
+    load per cloud.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dm.core.cloud import PointCloud, from_numpy
+from tpu3dm.core.config import PreprocessConfig
+from tpu3dm.io.ply import read_ply
+from tpu3dm.preprocess.fpfh import compute_fpfh
+from tpu3dm.preprocess.normals import estimate_normals
+from tpu3dm.preprocess.voxel import compact, voxel_downsample
+from tpu3dm.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+@dataclasses.dataclass
+class ProcessedCloud:
+    """Preprocessed cloud pair-of-resolutions (reference ``Ply`` attributes:
+    .pcd -> full, .pcd_down -> down, .pcd_fpfh -> down.features,
+    .voxel_size, .path — ply.py:20-31)."""
+
+    full: PointCloud  # full resolution, with normals (for ICP)
+    down: PointCloud  # downsampled, with normals + FPFH (for RANSAC)
+    voxel_size: float
+    path: Path | None = None
+
+
+def preprocess_points(
+    points: np.ndarray,
+    config: PreprocessConfig = PreprocessConfig(),
+    *,
+    key: jax.Array | None = None,
+    path: Path | None = None,
+) -> ProcessedCloud:
+    """Run the full preprocessing chain on raw host points."""
+    full = from_numpy(points)
+    down = compact(voxel_downsample(full, config.voxel_size))
+    down = estimate_normals(down, config.normal_radius)
+    down = compute_fpfh(down, config.fpfh_radius)
+
+    if config.noise_sigma > 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        noise = config.noise_sigma * jax.random.normal(key, down.points.shape)
+        noisy = jnp.where(down.mask[:, None], down.points + noise, 0.0)
+        down = down.with_(points=noisy)
+
+    full = estimate_normals(full, config.normal_radius)
+    logger.info(
+        "Preprocessed cloud: %d points -> %d downsampled (voxel %.3g)",
+        points.shape[0],
+        int(down.count),
+        config.voxel_size,
+    )
+    return ProcessedCloud(full=full, down=down, voxel_size=config.voxel_size, path=path)
+
+
+def load_cloud(
+    path: str | Path,
+    config: PreprocessConfig = PreprocessConfig(),
+    *,
+    key: jax.Array | None = None,
+) -> ProcessedCloud:
+    """Load a PLY file and preprocess it (reference: ``Ply(path, voxel_size)``).
+
+    Raises FileNotFoundError / TypeError / ValueError with the reference's
+    semantics (ply.py:46-51, 81-84).
+    """
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Ply file not found: {path}")
+    if path.suffix.lower() != ".ply":
+        raise TypeError(f"File is not a ply file: {path}")
+    data = read_ply(path)
+    return preprocess_points(data["points"], config, key=key, path=path)
