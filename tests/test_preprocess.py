@@ -1,0 +1,131 @@
+"""Voxel downsample, normals, FPFH: oracles and invariances."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dm.core.cloud import from_numpy, to_numpy
+from tpu3dm.io.synthetic import dental_arch_cloud, sphere_cloud
+from tpu3dm.preprocess.fpfh import compute_fpfh
+from tpu3dm.preprocess.normals import estimate_normals
+from tpu3dm.preprocess.voxel import compact, voxel_downsample
+
+
+def np_voxel_downsample(pts, voxel):
+    """NumPy oracle: mean of points per occupied voxel (Open3D semantics)."""
+    lo = pts.min(0)
+    ijk = np.floor((pts - lo) / voxel).astype(np.int64)
+    keys = {}
+    for p, k in zip(pts, map(tuple, ijk)):
+        keys.setdefault(k, []).append(p)
+    return np.array(sorted([np.mean(v, 0).tolist() for v in keys.values()]))
+
+
+def test_voxel_downsample_matches_oracle():
+    pts = dental_arch_cloud(3000, seed=0)
+    pc = from_numpy(pts)
+    down = compact(voxel_downsample(pc, 0.3))
+    got = np.array(sorted(to_numpy(down)["points"].tolist()))
+    expect = np_voxel_downsample(pts.astype(np.float32), 0.3)
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_voxel_downsample_reduces():
+    pts = dental_arch_cloud(20000, seed=1)
+    down = compact(voxel_downsample(from_numpy(pts), 0.3))
+    n = int(down.count)
+    assert 100 < n < 20000
+
+
+def test_voxel_single_voxel():
+    """All points in one voxel collapse to their mean."""
+    pts = np.random.default_rng(0).uniform(0, 0.01, size=(50, 3))
+    down = compact(voxel_downsample(from_numpy(pts), 1.0))
+    assert int(down.count) == 1
+    np.testing.assert_allclose(
+        to_numpy(down)["points"][0], pts.mean(0), atol=1e-5
+    )
+
+
+def test_normals_sphere():
+    """On a sphere, the normal at p is radially outward: |n . p/|p|| ~ 1."""
+    pts = sphere_cloud(3000, radius=1.0, seed=0)
+    pc = from_numpy(pts)
+    pc = estimate_normals(pc, radius=0.25)
+    data = to_numpy(pc)
+    n = data["normals"]
+    radial = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    dots = np.abs(np.sum(n * radial, axis=1))
+    assert np.median(dots) > 0.99
+    # outward orientation (centroid is the center)
+    signed = np.sum(n * radial, axis=1)
+    assert (signed > 0).mean() > 0.99
+
+
+def test_normals_rotation_equivariance():
+    """Normals rotate with the cloud (orientation is centroid-relative)."""
+    pts = dental_arch_cloud(2000, seed=2)
+    from tpu3dm.core import se3
+
+    T = se3.random_transform(jax.random.PRNGKey(1), jnp.asarray(pts.mean(0), jnp.float32))
+    R = np.asarray(T[:3, :3])
+    t = np.asarray(T[:3, 3])
+    pc1 = estimate_normals(from_numpy(pts), radius=0.6)
+    pc2 = estimate_normals(from_numpy(pts @ R.T + t), radius=0.6)
+    n1 = to_numpy(pc1)["normals"]
+    n2 = to_numpy(pc2)["normals"]
+    dots = np.sum((n1 @ R.T) * n2, axis=1)
+    assert np.median(dots) > 0.999
+
+
+def test_fpfh_shape_and_mass():
+    pts = dental_arch_cloud(1500, seed=3)
+    pc = estimate_normals(from_numpy(pts), radius=0.6)
+    pc = compute_fpfh(pc, radius=1.5)
+    f = to_numpy(pc)["features"]
+    assert f.shape[1] == 33
+    assert np.isfinite(f).all()
+    # every real point with neighbours has non-trivial histogram mass
+    assert (f.sum(1) > 0).mean() > 0.99
+
+
+def test_fpfh_rotation_invariance():
+    """FPFH is built from rotation-invariant angles: features of a rotated
+    cloud must match the original point-for-point."""
+    pts = dental_arch_cloud(1200, seed=4)
+    from tpu3dm.core import se3
+
+    T = se3.random_transform(jax.random.PRNGKey(2), jnp.asarray(pts.mean(0), jnp.float32))
+    R = np.asarray(T[:3, :3])
+    t = np.asarray(T[:3, 3])
+
+    def feats(p):
+        pc = estimate_normals(from_numpy(p), radius=0.6)
+        pc = compute_fpfh(pc, radius=1.5)
+        return to_numpy(pc)["features"]
+
+    f1 = feats(pts)
+    f2 = feats(pts @ R.T + t)
+    denom = np.abs(f1).max()
+    rel = np.abs(f1 - f2).max() / denom
+    assert rel < 0.02, f"FPFH not rotation invariant: rel err {rel}"
+
+
+def test_fpfh_distinguishes_geometry():
+    """Flat-region features differ from high-curvature features."""
+    rng = np.random.default_rng(5)
+    plane = np.c_[rng.uniform(-1, 1, (400, 2)), np.zeros(400)]
+    sph = sphere_cloud(400, radius=0.3, seed=5) * np.array([1, 1, 1]) + np.array([4, 0, 0])
+    pts = np.vstack([plane, sph])
+    pc = estimate_normals(from_numpy(pts), radius=0.35)
+    pc = compute_fpfh(pc, radius=0.6)
+    f = to_numpy(pc)["features"]
+    mean_plane = f[:400].mean(0)
+    mean_sph = f[400:].mean(0)
+    # cosine similarity noticeably below 1
+    cos = mean_plane @ mean_sph / (
+        np.linalg.norm(mean_plane) * np.linalg.norm(mean_sph)
+    )
+    assert cos < 0.98

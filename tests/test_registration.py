@@ -1,0 +1,228 @@
+"""Rigid fit, RANSAC, ICP, and the end-to-end pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dm.core import se3
+from tpu3dm.core.cloud import from_numpy
+from tpu3dm.core.config import IcpConfig, PipelineConfig, RansacConfig
+from tpu3dm.io.synthetic import dental_arch_cloud, make_benchmark_pair
+from tpu3dm.registration.icp import icp_refine
+from tpu3dm.registration.kabsch import fit_rigid_horn, fit_rigid_svd
+from tpu3dm.registration.ransac import (
+    _sample_distinct_triples,
+    ransac_from_correspondences,
+)
+
+
+def random_rigid(seed, angle=0.5, trans=1.0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * angle
+    T = np.asarray(se3.exp_se3(jnp.asarray(np.r_[rng.normal(size=3) * trans, w], dtype=jnp.float32)))
+    return T
+
+
+class TestRigidFit:
+    def test_horn_exact_recovery(self):
+        rng = np.random.default_rng(0)
+        T = random_rigid(1)
+        p = rng.normal(size=(3, 3)).astype(np.float32)
+        q = p @ T[:3, :3].T + T[:3, 3]
+        That = np.asarray(fit_rigid_horn(jnp.asarray(p), jnp.asarray(q)))
+        np.testing.assert_allclose(That, T, atol=1e-4)
+
+    def test_horn_matches_svd_batch(self):
+        rng = np.random.default_rng(2)
+        p = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        T = np.stack([random_rigid(i) for i in range(64)])
+        q = np.einsum("kij,kmj->kmi", T[:, :3, :3], p) + T[:, None, :3, 3]
+        q = q + 0.01 * rng.normal(size=q.shape).astype(np.float32)  # noise
+        Th = np.asarray(fit_rigid_horn(jnp.asarray(p), jnp.asarray(q)))
+        Ts = np.asarray(fit_rigid_svd(jnp.asarray(p), jnp.asarray(q)))
+        np.testing.assert_allclose(Th, Ts, atol=1e-3)
+
+    def test_horn_proper_rotation_always(self):
+        """Reflection-prone (near-planar) samples still give det=+1."""
+        rng = np.random.default_rng(3)
+        p = rng.normal(size=(128, 3, 3)).astype(np.float32)
+        p[..., 2] *= 0.001  # nearly coplanar
+        q = -p  # reflection-like correspondence
+        T = np.asarray(fit_rigid_horn(jnp.asarray(p), jnp.asarray(q)))
+        dets = np.linalg.det(T[:, :3, :3])
+        np.testing.assert_allclose(dets, 1.0, atol=1e-3)
+
+    @pytest.mark.parametrize(
+        "kind", ["collinear", "duplicate", "coplanar"]
+    )
+    def test_degenerate_no_nan(self, kind):
+        """Degenerate 3-point samples (reference crash suite,
+        test_ransac_crash.py:27-79) produce finite rigid transforms."""
+        if kind == "collinear":
+            p = np.array([[0, 0, 0], [1, 2, 3], [2, 4, 6]], dtype=np.float32)
+        elif kind == "duplicate":
+            p = np.tile(np.array([[1.0, 1, 1]], dtype=np.float32), (3, 1))
+        else:
+            p = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+        q = p + 1.0
+        T = np.asarray(fit_rigid_horn(jnp.asarray(p), jnp.asarray(q)))
+        assert np.isfinite(T).all()
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+
+    def test_huge_transform(self):
+        """Scale-1000 offsets (reference degenerate test,
+        test_ransac_crash.py:277-294) stay finite."""
+        rng = np.random.default_rng(4)
+        p = (rng.normal(size=(3, 3)) * 1000).astype(np.float32)
+        q = p + 1000.0
+        T = np.asarray(fit_rigid_horn(jnp.asarray(p), jnp.asarray(q)))
+        assert np.isfinite(T).all()
+        np.testing.assert_allclose(p + 1000.0, p @ T[:3, :3].T + T[:3, 3], atol=2.0)
+
+
+class TestSampling:
+    def test_triples_distinct(self):
+        tr = np.asarray(
+            _sample_distinct_triples(jax.random.PRNGKey(0), 4096, jnp.int32(50))
+        )
+        assert tr.min() >= 0 and tr.max() < 50
+        assert (tr[:, 0] != tr[:, 1]).all()
+        assert (tr[:, 0] != tr[:, 2]).all()
+        assert (tr[:, 1] != tr[:, 2]).all()
+
+    def test_triples_uniformish(self):
+        tr = np.asarray(
+            _sample_distinct_triples(jax.random.PRNGKey(1), 30000, jnp.int32(10))
+        )
+        counts = np.bincount(tr.ravel(), minlength=10)
+        freq = counts / counts.sum()
+        assert np.abs(freq - 0.1).max() < 0.01
+
+
+class TestRansac:
+    def _make_corres(self, n=500, outlier_frac=0.5, seed=0):
+        rng = np.random.default_rng(seed)
+        p = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+        T = random_rigid(seed + 10, angle=0.4, trans=0.5)
+        q = p @ T[:3, :3].T + T[:3, 3]
+        n_out = int(n * outlier_frac)
+        q[:n_out] = rng.uniform(-2, 2, size=(n_out, 3))  # corrupted pairs
+        return p, q.astype(np.float32), T
+
+    def test_recovers_transform_half_outliers(self):
+        p, q, T = self._make_corres(500, 0.5)
+        res = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(500, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=8192, batch_size=1024,
+        )
+        That = np.asarray(res.transformation)
+        err_deg = float(se3.rotation_geodesic_deg(jnp.asarray(That[:3, :3]), jnp.asarray(T[:3, :3])))
+        assert err_deg < 2.0, f"rotation error {err_deg} deg"
+        assert float(res.fitness) > 0.45
+
+    def test_early_stop_saves_work(self):
+        """Clean correspondences: confidence reached after the first chunk."""
+        p, q, T = self._make_corres(500, 0.0, seed=1)
+        res = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(500, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=65536, batch_size=512,
+        )
+        assert int(res.iterations) <= 1024
+        assert float(res.fitness) > 0.99
+
+    def test_zero_valid_correspondences(self):
+        """Reference zero-correspondence test (test_ransac_crash.py:198-224):
+        identity fallback, fitness 0, no crash."""
+        p = np.zeros((100, 3), np.float32)
+        q = np.zeros((100, 3), np.float32)
+        res = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.zeros(100, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=1024, batch_size=256,
+        )
+        assert np.isfinite(np.asarray(res.transformation)).all()
+
+    def test_noise_ratio_sweep(self):
+        """Robustness over outlier ratios (reference sweep 0-100x,
+        test_ransac_crash.py:227-236): recovery holds through 80% outliers."""
+        for frac in (0.0, 0.5, 0.8):
+            p, q, T = self._make_corres(600, frac, seed=3)
+            res = ransac_from_correspondences(
+                jnp.asarray(p), jnp.asarray(q), jnp.ones(600, bool),
+                jax.random.PRNGKey(1),
+                dist_thresh=0.1, max_iterations=16384, batch_size=2048,
+            )
+            err = float(
+                se3.rotation_geodesic_deg(
+                    res.transformation[:3, :3], jnp.asarray(T[:3, :3])
+                )
+            )
+            assert err < 3.0, f"outlier_frac={frac}: rot err {err}"
+
+
+class TestICP:
+    def _clouds(self, n=3000, seed=0):
+        pts = dental_arch_cloud(n, seed=seed)
+        from tpu3dm.preprocess.normals import estimate_normals
+
+        src = from_numpy(pts)
+        T = random_rigid(seed + 1, angle=0.1, trans=0.1)
+        tgt_pts = pts @ T[:3, :3].T + T[:3, 3]
+        tgt = estimate_normals(from_numpy(tgt_pts), radius=0.6)
+        return src, tgt, T
+
+    def test_converges_from_near_identity(self):
+        src, tgt, T = self._clouds()
+        res = icp_refine(
+            src, tgt, jnp.eye(4), dist_thresh=0.4, max_iterations=50,
+        )
+        That = np.asarray(res.transformation)
+        np.testing.assert_allclose(That, T, atol=5e-3)
+        assert float(res.fitness) > 0.95
+        assert float(res.inlier_rmse) < 0.05
+
+    def test_point_to_point_variant(self):
+        src, tgt, T = self._clouds(seed=2)
+        res = icp_refine(
+            src, tgt, jnp.eye(4), dist_thresh=0.4, max_iterations=60,
+            point_to_plane=False,
+        )
+        np.testing.assert_allclose(np.asarray(res.transformation), T, atol=2e-2)
+
+    def test_converged_early(self):
+        """Identical clouds converge in far fewer than max iterations."""
+        pts = dental_arch_cloud(1000, seed=3)
+        from tpu3dm.preprocess.normals import estimate_normals
+
+        src = from_numpy(pts)
+        tgt = estimate_normals(from_numpy(pts), radius=0.6)
+        res = icp_refine(src, tgt, jnp.eye(4), dist_thresh=0.4, max_iterations=30)
+        assert int(res.iterations) < 10
+        assert float(res.inlier_rmse) < 1e-5
+
+
+class TestEndToEnd:
+    def test_full_pipeline_recovers_ground_truth(self):
+        from tpu3dm.registration.pipeline import register_arrays
+
+        src, tgt, T = make_benchmark_pair(8000, seed=7)
+        cfg = PipelineConfig.with_voxel_size(0.3)
+        out = register_arrays(src, tgt, cfg)
+        That = np.asarray(out.transformation)
+        rot_err = float(
+            se3.rotation_geodesic_deg(
+                jnp.asarray(That[:3, :3]), jnp.asarray(T[:3, :3].astype(np.float32))
+            )
+        )
+        # Residual alignment error on the source points
+        moved = src @ That[:3, :3].T + That[:3, 3]
+        expect = src @ T[:3, :3].T + T[:3, 3]
+        rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+        assert rot_err < 1.0, f"rotation error {rot_err} deg"
+        assert rmse < 0.05, f"alignment rmse {rmse}"
+        assert float(out.icp.fitness) > 0.9

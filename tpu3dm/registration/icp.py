@@ -1,0 +1,144 @@
+"""Fully jit-compiled ICP refinement (point-to-plane and point-to-point).
+
+Replaces Open3D's ``registration_icp`` (reference: src/matcher/icp.py:17-48 —
+point-to-plane metric, threshold 0.4*voxel, full-resolution clouds, init from
+RANSAC).  Convergence criteria mirror Open3D's ICPConvergenceCriteria
+defaults: relative fitness/RMSE 1e-6, max 30 iterations.
+
+TPU-native structure: one `lax.while_loop` whose body is
+    transform -> NN search (tiled distance kernel) -> masked 6x6 normal
+    equations -> SE(3) exponential update
+entirely on device; the host sees only the final result.  The 6-DoF
+point-to-plane solve accumulates J^T J / J^T r with einsums (VPU/MXU) and
+solves the 6x6 system with a Tikhonov-regularized dense solve — no dynamic
+shapes, no exceptions (degenerate normal fields yield a damped step instead of
+a crash, matching the reference's guarded semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dm.core import se3
+from tpu3dm.core.cloud import PointCloud
+from tpu3dm.core.config import IcpConfig
+from tpu3dm.ops.nn import nn_search_pallas, nn_search_xla
+from tpu3dm.registration.result import RegistrationResult
+
+
+def _nn(query, target, qmask, tmask):
+    if jax.default_backend() == "cpu":
+        return nn_search_xla(query, target, qmask, tmask)
+    return nn_search_pallas(query, target, qmask, tmask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "point_to_plane")
+)
+def icp_refine(
+    src: PointCloud,
+    tgt: PointCloud,
+    init_T: jax.Array,
+    *,
+    dist_thresh: float | jax.Array,
+    max_iterations: int = 30,
+    relative_fitness: float = 1e-6,
+    relative_rmse: float = 1e-6,
+    point_to_plane: bool = True,
+) -> RegistrationResult:
+    """Refine ``init_T`` (target <- source) by ICP.
+
+    fitness = inliers / valid source points, inlier_rmse = RMSE of inlier
+    correspondence distances (Open3D RegistrationResult semantics).
+    """
+    thresh = jnp.asarray(dist_thresh, jnp.float32)
+    thresh_sq = thresh * thresh
+    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.int32)), 1)
+
+    def correspond(T):
+        """NN correspondences of transformed source in target."""
+        pts = se3.apply(T, src.points)
+        d2, idx = _nn(pts, tgt.points, src.mask, tgt.mask)
+        m = (d2 < thresh_sq) & src.mask
+        fitness = jnp.sum(m.astype(jnp.float32)) / n_src.astype(jnp.float32)
+        rmse = jnp.sqrt(
+            jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+        )
+        return pts, idx, m, fitness, rmse
+
+    def solve_step(T):
+        pts, idx, m, fitness, rmse = correspond(T)
+        q = tgt.points[idx]
+        w = m.astype(jnp.float32)
+        if point_to_plane:
+            n = tgt.normals[idx]
+            r = jnp.sum((pts - q) * n, axis=1)  # signed plane residual
+            # d(residual)/d(xi), xi = [rho, omega]: J = [n, p' x n]
+            J = jnp.concatenate([n, jnp.cross(pts, n)], axis=1)  # [N, 6]
+        else:
+            # Point-to-point: 3 residual rows per correspondence.
+            r3 = pts - q  # [N, 3]
+            eye = jnp.broadcast_to(jnp.eye(3), (pts.shape[0], 3, 3))
+            Jw = -se3.hat(pts)  # d(p')/d(omega) = -[p']_x applied to omega
+            J3 = jnp.concatenate([eye, Jw], axis=2)  # [N, 3, 6]
+            J = J3.reshape(-1, 6)
+            r = r3.reshape(-1)
+            w = jnp.repeat(w, 3)
+        A = jnp.einsum("n,ni,nj->ij", w, J, J)
+        b = -jnp.einsum("n,ni,n->i", w, J, r)
+        A = A + 1e-6 * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
+        xi = jnp.linalg.solve(A, b)
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        T_new = se3.exp_se3(xi) @ T
+        return T_new, fitness, rmse
+
+    def cond(state):
+        it, _, f_prev, r_prev, f_cur, r_cur, converged = state
+        return (it < max_iterations) & ~converged
+
+    def body(state):
+        it, T, f_prev, r_prev, f_cur, r_cur, _ = state
+        T_new, f_new, rmse_new = solve_step(T)
+        converged = (jnp.abs(f_new - f_cur) < relative_fitness) & (
+            jnp.abs(rmse_new - r_cur) < relative_rmse
+        ) & (it > 0)
+        return it + 1, T_new, f_cur, r_cur, f_new, rmse_new, converged
+
+    init = (
+        jnp.int32(0),
+        jnp.asarray(init_T, jnp.float32),
+        jnp.float32(-1.0),
+        jnp.float32(-1.0),
+        jnp.float32(-1.0),
+        jnp.float32(-1.0),
+        jnp.bool_(False),
+    )
+    it, T, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    # Final metrics at the converged transform.
+    _, _, _, fitness, rmse = correspond(T)
+    return RegistrationResult(
+        transformation=T, fitness=fitness, inlier_rmse=rmse, iterations=it
+    )
+
+
+def refine_registration(
+    src: PointCloud,
+    tgt: PointCloud,
+    init_T: jax.Array,
+    config: IcpConfig,
+) -> RegistrationResult:
+    """Reference-parity entry point (icp.py:17-48): point-to-plane ICP on the
+    full-resolution clouds with threshold 0.4 * voxel."""
+    return icp_refine(
+        src,
+        tgt,
+        init_T,
+        dist_thresh=config.dist_thresh,
+        max_iterations=config.max_iterations,
+        relative_fitness=config.relative_fitness,
+        relative_rmse=config.relative_rmse,
+        point_to_plane=config.point_to_plane,
+    )

@@ -1,0 +1,222 @@
+"""Batched RANSAC global registration — thousands of hypotheses per dispatch.
+
+TPU-native re-expression of both reference RANSAC paths:
+  - the Open3D built-in pipeline (src/matcher/ransac.py:20-58: 3-point samples,
+    point-to-point fit, edge-length 0.9 + distance checkers, convergence
+    (max_iteration, confidence 0.999));
+  - the hand-rolled NumPy loop (ransac.py:104-277 + the GUI worker loop
+    _visualize_matcher.py:394-466 with its theoretical early stop
+    N = log(1-c) / log(1-w^3), :356-370).
+
+Where the reference fits and scores ONE hypothesis per Python iteration
+(0.76 ms each, benchmark_results.txt:8), here a `lax.while_loop` steps over
+*chunks* of `batch_size` hypotheses; each chunk is sampled, fitted (Horn
+quaternion, registration/kabsch.py), checker-masked, and scored (rank-15
+bilinear MXU kernel, ops/ransac_score.py) in one device dispatch, with an
+on-device argmax electing the chunk best.  Early stop happens between chunks
+with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dm.core.cloud import PointCloud
+from tpu3dm.core.config import RansacConfig
+from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+from tpu3dm.registration.kabsch import fit_rigid_horn
+from tpu3dm.registration.result import RegistrationResult
+
+
+def _sample_distinct_triples(key: jax.Array, k: int, n: jax.Array) -> jax.Array:
+    """[k, 3] distinct indices uniform over [0, n) (n traced, n >= 3).
+
+    Constant-time distinct sampling (no rejection): draw from shrinking ranges
+    and shift past already-chosen values — the batched analog of
+    ``np.random.choice(n, 3, replace=False)`` (reference: ransac.py:143).
+    """
+    n = jnp.maximum(n, 3)
+    ka, kb, kc = jax.random.split(key, 3)
+    a = jax.random.randint(ka, (k,), 0, n)
+    b = jax.random.randint(kb, (k,), 0, n - 1)
+    b = b + (b >= a)
+    c = jax.random.randint(kc, (k,), 0, n - 2)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    c = c + (c >= lo)
+    c = c + (c >= hi)
+    return jnp.stack([a, b, c], axis=1)
+
+
+def _edge_length_ok(ps: jax.Array, qs: jax.Array, ratio: float) -> jax.Array:
+    """Open3D CorrespondenceCheckerBasedOnEdgeLength (ransac.py:53): every
+    triangle edge must satisfy |e_t| > ratio*|e_s| and |e_s| > ratio*|e_t|."""
+
+    def edges(x):  # [K, 3, 3] -> [K, 3]
+        e01 = jnp.linalg.norm(x[:, 0] - x[:, 1], axis=-1)
+        e12 = jnp.linalg.norm(x[:, 1] - x[:, 2], axis=-1)
+        e20 = jnp.linalg.norm(x[:, 2] - x[:, 0], axis=-1)
+        return jnp.stack([e01, e12, e20], axis=1)
+
+    es, et = edges(ps), edges(qs)
+    ok = (et > ratio * es) & (es > ratio * et)
+    return jnp.all(ok, axis=1)
+
+
+def _score(R, t, p, q, mask, thresh_sq):
+    if jax.default_backend() == "cpu":
+        return score_hypotheses_xla(R, t, p, q, mask, thresh_sq)
+    return score_hypotheses_pallas(R, t, p, q, mask, thresh_sq)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "batch_size", "use_checkers")
+)
+def ransac_from_correspondences(
+    p_all: jax.Array,
+    q_all: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    *,
+    dist_thresh: float | jax.Array,
+    max_iterations: int = 100_000,
+    batch_size: int = 4096,
+    confidence: float | jax.Array = 0.999,
+    edge_length_ratio: float | jax.Array = 0.9,
+    use_checkers: bool = True,
+) -> RegistrationResult:
+    """Run batched RANSAC over a fixed correspondence set.
+
+    Args:
+      p_all, q_all: [M, 3] gathered correspondence points (source, target).
+      valid: [M] correspondence validity mask.
+      key: PRNG key.
+      dist_thresh: inlier distance threshold (reference: 1.5 * voxel).
+
+    Returns:
+      RegistrationResult with fitness = inliers / valid-correspondences
+      (hand-rolled reference semantics, ransac.py:236) and iterations =
+      hypotheses actually evaluated (early stop included).
+    """
+    m = p_all.shape[0]
+    thresh = jnp.asarray(dist_thresh, jnp.float32)
+    thresh_sq = thresh * thresh
+    conf = jnp.asarray(confidence, jnp.float32)
+
+    # Compact valid correspondences to the front so index sampling is uniform
+    # over real pairs.
+    order = jnp.argsort(~valid)  # stable: valid rows first
+    p_all = p_all[order]
+    q_all = q_all[order]
+    valid = valid[order]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    n_chunks = max(1, -(-max_iterations // batch_size))
+
+    def required_iters(best_count):
+        """Theoretical iterations for confidence (reference:
+        _visualize_matcher.py:356-370): N = log(1-c)/log(1-w^3)."""
+        w = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+        w3 = jnp.clip(w**3, 1e-12, 1.0 - 1e-7)
+        req = jnp.log1p(-conf) / jnp.log1p(-w3)
+        return jnp.where(
+            w < 0.01, jnp.float32(max_iterations), jnp.minimum(req, max_iterations)
+        )
+
+    def cond(state):
+        chunk_i, _, best_count, _ = state
+        done_budget = chunk_i >= n_chunks
+        done_conf = (chunk_i * batch_size) >= required_iters(best_count)
+        return ~(done_budget | done_conf)
+
+    def body(state):
+        chunk_i, best_T, best_count, key = state
+        key, k_samp = jax.random.split(key)
+        triples = _sample_distinct_triples(k_samp, batch_size, n_valid)
+        ps = p_all[triples]  # [K, 3, 3]
+        qs = q_all[triples]
+        T = fit_rigid_horn(ps, qs)  # [K, 4, 4]
+        R = T[:, :3, :3]
+        t = T[:, :3, 3]
+
+        counts = _score(R, t, p_all, q_all, valid, thresh_sq)
+
+        if use_checkers:
+            ok_edge = _edge_length_ok(ps, qs, edge_length_ratio)
+            moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
+            ok_dist = jnp.all(
+                jnp.sum((moved - qs) ** 2, axis=-1) < thresh_sq, axis=1
+            )
+            counts = jnp.where(ok_edge & ok_dist, counts, -1)
+
+        best_k = jnp.argmax(counts)
+        chunk_best = counts[best_k]
+        improved = chunk_best > best_count
+        best_T = jnp.where(improved, T[best_k], best_T)
+        best_count = jnp.where(improved, chunk_best, best_count)
+        return chunk_i + 1, best_T, best_count, key
+
+    init = (jnp.int32(0), jnp.eye(4, dtype=jnp.float32), jnp.int32(-1), key)
+    chunk_i, best_T, best_count, _ = jax.lax.while_loop(cond, body, init)
+
+    best_count = jnp.maximum(best_count, 0)
+    fitness = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(
+        jnp.float32
+    )
+    # Inlier RMSE of the elected transform over the correspondence set.
+    moved = p_all @ best_T[:3, :3].T + best_T[:3, 3]
+    d2 = jnp.sum((moved - q_all) ** 2, axis=1)
+    inl = (d2 < thresh_sq) & valid
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(jnp.sum(inl), 1)
+    )
+    return RegistrationResult(
+        transformation=best_T,
+        fitness=fitness,
+        inlier_rmse=rmse,
+        iterations=chunk_i * batch_size,
+    )
+
+
+def global_registration(
+    src: PointCloud,
+    tgt: PointCloud,
+    config: RansacConfig,
+    key: jax.Array,
+    *,
+    pairs: jax.Array | None = None,
+    pairs_valid: jax.Array | None = None,
+) -> RegistrationResult:
+    """Feature-matched RANSAC registration (reference: global_registration,
+    ransac.py:20-58).  Computes FPFH correspondences (mutual filter per
+    config), then runs batched RANSAC."""
+    from tpu3dm.registration.correspondence import (
+        feature_correspondences,
+        gather_pairs,
+    )
+
+    if pairs is None:
+        k_corr, key = jax.random.split(key)
+        pairs, pairs_valid = feature_correspondences(
+            src,
+            tgt,
+            mutual_filter=config.mutual_filter,
+            noise_ratio=config.noise_ratio,
+            key=k_corr,
+        )
+    p_all, q_all = gather_pairs(src, tgt, pairs)
+    return ransac_from_correspondences(
+        p_all,
+        q_all,
+        pairs_valid,
+        key,
+        dist_thresh=config.dist_thresh,
+        max_iterations=config.max_iterations,
+        batch_size=config.batch_size,
+        confidence=config.confidence,
+        edge_length_ratio=config.edge_length_ratio,
+        use_checkers=config.use_checkers,
+    )
