@@ -1,0 +1,135 @@
+"""Benchmark: cloud-pairs/sec/chip for full RANSAC+ICP registration.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline (BASELINE.md): the reference CPU pipeline spends 8.98 ms on FPFH
+correspondence computation + 21.12 ms on the built-in 30-iteration RANSAC
+per pair (benchmark_results.txt:11-12) => ~33.2 pairs/s, CPU, and its
+hand-rolled loop manages ~1,320 hypotheses/s (0.757 ms/iter).
+
+This benchmark registers preprocessed pairs with the fused single-dispatch
+step (correspondence NN + 4096-hypothesis batched RANSAC + 8 point-to-plane
+ICP iterations — strictly MORE work per pair than the 30-iteration reference
+path), vmapped over a batch of pairs to amortize host->TPU dispatch latency,
+and reports registered pairs per second on one chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference-derived baseline: 1 / (8.98ms + 21.12ms) pairs/sec on CPU.
+BASELINE_PAIRS_PER_SEC = 1.0 / ((8.98 + 21.12) * 1e-3)
+
+RANSAC_HYPOTHESES = 4096
+ICP_ITERS = 8
+PAIR_BATCH = 16
+TIMED_REPS = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compile cache: first bench run pays ~4 min of XLA compiles
+    # (preprocess + fused step); subsequent runs hit the cache.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.preprocess.pipeline import preprocess_points
+    from tpu3dm.registration.fused import fused_register_step
+    from tpu3dm.core import se3
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    cfg = PipelineConfig.with_voxel_size(0.3)
+
+    # Benchmark pair: dental-arch-like clouds, reference magnitude transform.
+    src_pts, tgt_pts, T_true = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+    t0 = time.time()
+    src = preprocess_points(src_pts, cfg.preprocess)
+    tgt = preprocess_points(tgt_pts, cfg.preprocess)
+    log(
+        f"preprocess: {time.time()-t0:.2f}s  down counts: "
+        f"{int(src.down.count)}/{int(tgt.down.count)} (cap {src.down.capacity})"
+    )
+
+    sd, td = src.down, tgt.down
+
+    def step(key):
+        return fused_register_step(
+            sd.points, sd.features, sd.mask, sd.normals,
+            td.points, td.features, td.mask, td.normals,
+            key,
+            dist_thresh=cfg.ransac.dist_thresh,
+            icp_thresh=cfg.icp.dist_thresh,
+            ransac_iterations=RANSAC_HYPOTHESES,
+            ransac_batch=RANSAC_HYPOTHESES,
+            icp_iterations=ICP_ITERS,
+        )
+
+    batched = jax.jit(jax.vmap(step))
+    keys = jax.random.split(jax.random.PRNGKey(0), PAIR_BATCH)
+
+    t0 = time.time()
+    out = batched(keys)
+    jax.block_until_ready(out)
+    log(f"compile+first batch: {time.time()-t0:.2f}s")
+
+    # Quality gate: the benchmark only counts if registration actually works.
+    T_est = np.asarray(out[0][0])
+    rot_err = float(
+        se3.rotation_geodesic_deg(
+            jnp.asarray(T_est[:3, :3]), jnp.asarray(T_true[:3, :3].astype(np.float32))
+        )
+    )
+    moved = src_pts @ T_est[:3, :3].T + T_est[:3, 3]
+    expect = src_pts @ T_true[:3, :3].T + T_true[:3, 3]
+    rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+    log(f"quality: rot_err={rot_err:.3f} deg, alignment rmse={rmse:.4f}, "
+        f"ransac_fitness={float(out[1][0]):.3f}")
+
+    times = []
+    for _ in range(TIMED_REPS):
+        keys = jax.random.split(keys[0], PAIR_BATCH)
+        t0 = time.time()
+        out = batched(keys)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    per_batch = float(np.median(times))
+    pairs_per_sec = PAIR_BATCH / per_batch
+    hyps_per_sec = pairs_per_sec * RANSAC_HYPOTHESES
+    log(
+        f"batch of {PAIR_BATCH} pairs: {per_batch*1e3:.2f} ms "
+        f"({pairs_per_sec:.1f} pairs/s, {hyps_per_sec:.3g} RANSAC hypotheses/s)"
+    )
+
+    quality_ok = rot_err < 2.0 and rmse < 0.1
+    result = {
+        "metric": "cloud_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "quality_ok": quality_ok,
+        "rot_err_deg": round(rot_err, 3),
+        "align_rmse": round(rmse, 4),
+        "ransac_hypotheses_per_pair": RANSAC_HYPOTHESES,
+        "icp_iters_per_pair": ICP_ITERS,
+        "hypotheses_per_sec": round(hyps_per_sec),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Mesh, ring NN, hypothesis-parallel RANSAC, pair-DP on a simulated 8-device
+CPU mesh (conftest sets xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dm.core import se3
+from tpu3dm.ops.nn import nn_search_xla
+from tpu3dm.parallel.mesh import make_mesh
+from tpu3dm.parallel.multipair import batched_ransac
+from tpu3dm.parallel.ring_nn import ring_nn_search
+from tpu3dm.parallel.sharded_ransac import sharded_ransac
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(1, 8)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return make_mesh(4, 2)
+
+
+def test_mesh_shapes():
+    m = make_mesh(2, 4)
+    assert m.shape == {"pair": 2, "block": 4}
+    assert make_mesh().shape == {"pair": 8, "block": 1}
+
+
+def test_ring_nn_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    nq, nt = 512, 1024
+    q = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32))
+    qm = jnp.asarray(rng.random(nq) > 0.05)
+    tm = jnp.asarray(rng.random(nt) > 0.05)
+    d2_ring, idx_ring = ring_nn_search(mesh8, q, t, qm, tm)
+    d2_ref, idx_ref = nn_search_xla(q, t, qm, tm)
+    np.testing.assert_array_equal(np.asarray(idx_ring), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(d2_ring), np.asarray(d2_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_nn_feature_space(mesh8):
+    """33-D features shard and ring the same way."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(256, 33)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(512, 33)).astype(np.float32))
+    ones_q = jnp.ones(256, bool)
+    ones_t = jnp.ones(512, bool)
+    d2r, ir = ring_nn_search(mesh8, q, t, ones_q, ones_t)
+    d2x, ix = nn_search_xla(q, t, ones_q, ones_t)
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ix))
+
+
+def _corres_problem(n, outlier_frac, seed):
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * 0.4
+    T = np.asarray(
+        se3.exp_se3(jnp.asarray(np.r_[rng.normal(size=3) * 0.4, w], dtype=jnp.float32))
+    )
+    q = p @ T[:3, :3].T + T[:3, 3]
+    n_out = int(n * outlier_frac)
+    q[:n_out] = rng.uniform(-2, 2, size=(n_out, 3))
+    return p, q.astype(np.float32), T
+
+
+def test_sharded_ransac_recovers(mesh8):
+    p, q, T = _corres_problem(400, 0.4, seed=2)
+    res = sharded_ransac(
+        mesh8,
+        jnp.asarray(p),
+        jnp.asarray(q),
+        jnp.ones(400, bool),
+        jax.random.PRNGKey(0),
+        dist_thresh=0.1,
+        iterations=8192,
+    )
+    err = float(
+        se3.rotation_geodesic_deg(res.transformation[:3, :3], jnp.asarray(T[:3, :3]))
+    )
+    assert err < 2.0
+    assert float(res.fitness) > 0.5
+
+
+def test_batched_ransac_pair_dp(mesh4x2):
+    """8 pairs sharded over a 4x2 mesh recover their own transforms."""
+    P = 8
+    ps, qs, Ts = [], [], []
+    for i in range(P):
+        p, q, T = _corres_problem(256, 0.3, seed=10 + i)
+        ps.append(p)
+        qs.append(q)
+        Ts.append(T)
+    p_b = jnp.asarray(np.stack(ps))
+    q_b = jnp.asarray(np.stack(qs))
+    v_b = jnp.ones((P, 256), bool)
+    keys = jax.random.split(jax.random.PRNGKey(1), P)
+    T_out, fit = batched_ransac(
+        mesh4x2, p_b, q_b, v_b, keys, dist_thresh=0.1, iterations=4096, batch_size=1024
+    )
+    for i in range(P):
+        err = float(
+            se3.rotation_geodesic_deg(
+                T_out[i, :3, :3], jnp.asarray(Ts[i][:3, :3])
+            )
+        )
+        assert err < 2.5, f"pair {i}: {err} deg"
+        assert float(fit[i]) > 0.55

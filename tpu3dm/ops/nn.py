@@ -96,9 +96,12 @@ def nn_search_xla(
         best_idx = jnp.where(better, tile_arg, best_idx)
         return (best_d2, best_idx, j + 1), None
 
+    # Inits derive from `query` (zeros_like/full_like) so they inherit its
+    # varying-manual-axes under shard_map — a fresh jnp.zeros would be
+    # replicated and trip the scan carry-type check.
     init = (
-        jnp.full((nq,), BIG, dtype=jnp.float32),
-        jnp.zeros((nq,), dtype=jnp.int32),
+        jnp.full_like(query[:, 0], BIG),
+        jnp.zeros_like(query[:, 0], dtype=jnp.int32),
         jnp.int32(0),
     )
     (best_d2, best_idx, _), _ = jax.lax.scan(body, init, (tgt_blocks, sq_blocks))

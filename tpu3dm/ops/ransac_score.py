@@ -110,7 +110,8 @@ def score_hypotheses_xla(
         hits = (d2 < thresh) & mm[None, :]
         return acc + jnp.sum(hits, axis=1, dtype=jnp.int32), None
 
-    init = jnp.zeros((R.shape[0],), jnp.int32)
+    # zeros_like so the carry inherits R's varying axes under shard_map.
+    init = jnp.zeros_like(R[:, 0, 0], dtype=jnp.int32)
     counts, _ = jax.lax.scan(body, init, (Fb, cb, mb))
     return counts
 

@@ -1,0 +1,104 @@
+"""Fused single-dispatch registration step — the flagship compiled program.
+
+One jitted function: FPFH correspondence search (tiled NN kernel) → batched
+RANSAC (sample/fit/checker/score chunks under lax.scan) → fixed ICP polish
+iterations — the complete coarse-to-fine registration of one preprocessed
+pair with zero host round-trips.  This is the unit the throughput benchmarks
+dispatch (reference equivalent: everything between Ply construction and the
+final RegistrationResult in src/main.py:33-38).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dm.core import se3
+from tpu3dm.ops.nn import nn_search_pallas, nn_search_xla
+from tpu3dm.parallel.multipair import ransac_pair_step
+
+
+def _nn(query, target, qmask, tmask):
+    if jax.default_backend() == "cpu":
+        return nn_search_xla(query, target, qmask, tmask)
+    return nn_search_pallas(query, target, qmask, tmask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ransac_iterations",
+        "ransac_batch",
+        "icp_iterations",
+        "mutual_filter",
+    ),
+)
+def fused_register_step(
+    src_pts: jax.Array,
+    src_feat: jax.Array,
+    src_mask: jax.Array,
+    src_normals: jax.Array,
+    tgt_pts: jax.Array,
+    tgt_feat: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    key: jax.Array,
+    *,
+    dist_thresh: float = 0.45,  # 1.5 * voxel(0.3), ransac.py:41
+    icp_thresh: float = 0.12,  # 0.4 * voxel(0.3), icp.py:41
+    ransac_iterations: int = 4096,
+    ransac_batch: int = 4096,
+    icp_iterations: int = 8,
+    mutual_filter: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Register one preprocessed pair in a single compiled program.
+
+    Returns (T [4,4], ransac_fitness, icp_rmse).
+    """
+    # --- correspondences in FPFH space -------------------------------------
+    _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask)
+    valid = src_mask
+    if mutual_filter:
+        _, idx_bwd = _nn(tgt_feat, src_feat, tgt_mask, src_mask)
+        ns = src_pts.shape[0]
+        valid = valid & (idx_bwd[idx_fwd] == jnp.arange(ns, dtype=jnp.int32))
+    p_all = src_pts
+    q_all = tgt_pts[idx_fwd]
+
+    # --- batched RANSAC -----------------------------------------------------
+    T, count = ransac_pair_step(
+        p_all,
+        q_all,
+        valid,
+        key,
+        dist_thresh=dist_thresh,
+        iterations=ransac_iterations,
+        batch_size=ransac_batch,
+    )
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)
+
+    # --- ICP polish (fixed iteration count, point-to-plane) -----------------
+    thresh_sq = jnp.float32(icp_thresh) ** 2
+
+    def icp_iter(T, _):
+        pts = se3.apply(T, src_pts)
+        d2, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+        m = (d2 < thresh_sq) & src_mask
+        w = m.astype(jnp.float32)
+        q = tgt_pts[idx]
+        n = tgt_normals[idx]
+        r = jnp.sum((pts - q) * n, axis=1)
+        J = jnp.concatenate([n, jnp.cross(pts, n)], axis=1)
+        A = jnp.einsum("n,ni,nj->ij", w, J, J)
+        b = -jnp.einsum("n,ni,n->i", w, J, r)
+        A = A + 1e-6 * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
+        xi = jnp.linalg.solve(A, b)
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        rmse = jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1))
+        return se3.exp_se3(xi) @ T, rmse
+
+    T, rmses = jax.lax.scan(icp_iter, T, None, length=icp_iterations)
+    return T, fitness, rmses[-1]
