@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpu3dm.ops.sym4 import dominant_eigvec_sym4
+
 
 
 def quat_to_rot(q: jax.Array) -> jax.Array:
@@ -81,12 +83,13 @@ def fit_rigid_horn(p: jax.Array, q: jax.Array, w: jax.Array | None = None) -> ja
         ],
         -2,
     )
-    # Dominant eigenvector of N = optimal quaternion.  Batched 4x4 eigh is
-    # exact and cheap on TPU (~0.2 ms for 4096 matrices measured on v5e);
-    # power/Rayleigh iteration was tried and rejected — 3-point problems have
-    # near-degenerate spectra that stall linear iteration.
-    _, V = jnp.linalg.eigh(N)
-    v = V[..., :, -1]
+    # Dominant eigenvector of N = optimal quaternion.  N is traceless
+    # symmetric, so the analytic Newton-on-quartic + adjugate solver applies
+    # (ops/sym4.py) — pure VPU arithmetic.  jnp.linalg.eigh was measured at
+    # ~4 us/matrix on v5e (264 ms for a 64k-hypothesis dispatch, dominating
+    # the pipeline); power/Rayleigh iteration stalls on the near-degenerate
+    # spectra 3-point problems produce.
+    v = dominant_eigvec_sym4(N)
     R = quat_to_rot(v)
     t = cq - jnp.einsum("...ab,...b->...a", R, cp)
 
