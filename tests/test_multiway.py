@@ -1,0 +1,119 @@
+"""Pose-graph optimization and multiway registration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dm.core import se3
+from tpu3dm.multiway.posegraph import default_edges, optimize_pose_graph
+
+
+def _rand_pose(seed, scale=0.5):
+    rng = np.random.default_rng(seed)
+    xi = np.r_[rng.normal(size=3) * scale, rng.normal(size=3) * scale]
+    return np.asarray(se3.exp_se3(jnp.asarray(xi, jnp.float32)))
+
+
+def _edge_measurements(poses, edges, noise=0.0, seed=0):
+    """T_e with x_j = T_e x_i: T_e = P_j^-1 P_i."""
+    rng = np.random.default_rng(seed)
+    Ts = []
+    for i, j in edges:
+        T = np.linalg.inv(poses[j]) @ poses[i]
+        if noise > 0:
+            xi = np.r_[rng.normal(size=3), rng.normal(size=3)] * noise
+            T = T @ np.asarray(se3.exp_se3(jnp.asarray(xi, jnp.float32)))
+        Ts.append(T)
+    return np.stack(Ts).astype(np.float32)
+
+
+def test_pose_graph_exact_chain():
+    n = 5
+    poses_true = np.stack([np.eye(4, dtype=np.float32)] + [_rand_pose(i) for i in range(1, n)])
+    edges = default_edges(n)
+    T_meas = _edge_measurements(poses_true, edges)
+    poses = np.asarray(
+        optimize_pose_graph(
+            jnp.asarray(T_meas),
+            jnp.asarray(np.asarray(edges, np.int32)),
+            jnp.ones(len(edges)),
+            n_nodes=n,
+            iterations=15,
+        )
+    )
+    # Gauge: pose 0 = I; remaining poses recover exactly.
+    np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-5)
+    for k in range(n):
+        np.testing.assert_allclose(poses[k], poses_true[k], atol=1e-3)
+
+
+def test_pose_graph_distributes_loop_error():
+    """Noisy loop: optimization beats dead-reckoning chain composition."""
+    n = 6
+    poses_true = np.stack([np.eye(4, dtype=np.float32)] + [_rand_pose(10 + i, 0.4) for i in range(1, n)])
+    edges = default_edges(n)  # includes loop closure
+    T_meas = _edge_measurements(poses_true, edges, noise=0.02, seed=1)
+    poses = np.asarray(
+        optimize_pose_graph(
+            jnp.asarray(T_meas),
+            jnp.asarray(np.asarray(edges, np.int32)),
+            jnp.ones(len(edges)),
+            n_nodes=n,
+            iterations=25,
+        )
+    )
+    # Dead reckoning: chain composition without the loop edge.
+    dr = [np.eye(4, dtype=np.float32)]
+    for e in range(n - 1):
+        # x_{i+1} = T_e x_i  =>  P_{i+1} = P_i T_e^{-1}
+        dr.append(dr[-1] @ np.linalg.inv(T_meas[e]))
+    dr = np.stack(dr)
+
+    def err(P):
+        errs = []
+        for k in range(n):
+            errs.append(
+                float(
+                    se3.rotation_geodesic_deg(
+                        jnp.asarray(P[k][:3, :3]), jnp.asarray(poses_true[k][:3, :3])
+                    )
+                )
+            )
+        return np.mean(errs)
+
+    assert err(poses) < err(dr) + 1e-6
+    assert err(poses) < 3.0
+
+
+def test_multiway_registration_synthetic():
+    """4 jittered copies of a cloud align into a consistent frame."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.multiway.posegraph import register_multiway
+    from tpu3dm.preprocess.pipeline import preprocess_points
+
+    base = dental_arch_cloud(6000, seed=0)
+    n = 4
+    poses_true = [np.eye(4)] + [_rand_pose(20 + i, 0.15) for i in range(1, n)]
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    clouds = []
+    for k in range(n):
+        # cloud k sees the base points expressed in its own frame:
+        # x_k = P_k^{-1} x_world
+        Pinv = np.linalg.inv(poses_true[k])
+        pts = base @ Pinv[:3, :3].T + Pinv[:3, 3]
+        clouds.append(preprocess_points(pts, cfg.preprocess))
+
+    out = register_multiway(clouds, cfg, key=jax.random.PRNGKey(3))
+    assert out.poses.shape == (n, 4, 4)
+    assert (out.edge_fitness > 0.5).all()
+    # World reconstruction consistency: P_k x_k should coincide across k.
+    recon = [
+        (base @ np.linalg.inv(poses_true[k])[:3, :3].T + np.linalg.inv(poses_true[k])[:3, 3])
+        @ out.poses[k][:3, :3].T
+        + out.poses[k][:3, 3]
+        for k in range(n)
+    ]
+    for k in range(1, n):
+        rmse = np.sqrt(((recon[k] - recon[0]) ** 2).sum(1).mean())
+        assert rmse < 0.05, f"cloud {k} rmse {rmse}"

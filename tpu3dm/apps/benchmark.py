@@ -1,0 +1,217 @@
+"""Comprehensive benchmark CLI (reference: benchmark_ransac.py:1-347).
+
+Reproduces the reference's phases with device-fenced timing and writes both
+the human-readable profiler table (benchmark_results.txt analog,
+reference :274-280) and a machine-readable JSON report:
+
+  1. preprocessing (two clouds: downsample, normals, FPFH)    [ref :31-60]
+  2. correspondence computation (FPFH NN + mutual filter)     [ref :63-84]
+  3. RANSAC iterations, split transform-vs-eval               [ref :87-125]
+  4. cloud copy cost (device put/get, the deepcopy analog)    [ref :128-148]
+  5. full batched RANSAC pipeline                             [ref :177-202]
+  6. N-iteration extrapolation                                [ref :205-220]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dm.core.config import PipelineConfig
+from tpu3dm.io.synthetic import make_benchmark_pair
+from tpu3dm.preprocess.pipeline import load_cloud, preprocess_points
+from tpu3dm.registration.correspondence import feature_correspondences, gather_pairs
+from tpu3dm.registration.kabsch import fit_rigid_horn
+from tpu3dm.registration.ransac import (
+    _sample_distinct_triples,
+    ransac_from_correspondences,
+)
+from tpu3dm.ops.ransac_score import score_hypotheses_xla, score_hypotheses_pallas
+from tpu3dm.utils.logging import setup_logging
+from tpu3dm.utils.profiler import Profiler, profile_block
+
+logger = setup_logging(__name__)
+
+
+def _score(R, t, p, q, m, th):
+    if jax.default_backend() == "cpu":
+        return score_hypotheses_xla(R, t, p, q, m, th)
+    return score_hypotheses_pallas(R, t, p, q, m, th)
+
+
+def run_comprehensive_benchmark(
+    source: str | None,
+    target: str | None,
+    *,
+    voxel_size: float = 0.3,
+    noise_ratio: float = 0.0,
+    test_iterations: int = 100,
+    ransac_iterations: int = 4096,
+    out_txt: str = "benchmark_results.txt",
+    out_json: str = "benchmark_results.json",
+) -> dict:
+    Profiler.reset()
+    cfg = PipelineConfig.with_voxel_size(voxel_size)
+
+    # Phase 1: preprocessing (ref :31-60) ------------------------------------
+    if source and target:
+        with profile_block("preprocessing_total"):
+            src = load_cloud(source, cfg.preprocess)
+            tgt = load_cloud(target, cfg.preprocess)
+    else:
+        logger.info("no input files; using the synthetic benchmark pair")
+        s_pts, t_pts, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+        with profile_block("preprocessing_total"):
+            src = preprocess_points(s_pts, cfg.preprocess)
+            tgt = preprocess_points(t_pts, cfg.preprocess)
+
+    # Phase 2: correspondence computation (ref :63-84) -----------------------
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):  # warm compile before the timed reps
+        pairs, valid = feature_correspondences(
+            src.down, tgt.down, mutual_filter=True, noise_ratio=noise_ratio, key=key
+        )
+    jax.block_until_ready(pairs)
+    for _ in range(test_iterations // 10 or 1):
+        with profile_block("correspondence_computation"):
+            pairs, valid = feature_correspondences(
+                src.down, tgt.down, mutual_filter=True, noise_ratio=noise_ratio, key=key
+            )
+            jax.block_until_ready(pairs)
+    p_all, q_all = gather_pairs(src.down, tgt.down, pairs)
+
+    # Phase 3: RANSAC iteration cost, split (ref :87-125).  One reference
+    # "iteration" = fit ONE hypothesis + evaluate it; here a batch of
+    # `ransac_iterations` hypotheses is one dispatch, so the comparable
+    # per-iteration number is batch_time / ransac_iterations.
+    n = p_all.shape[0]
+    k_fit = jax.jit(
+        lambda key: fit_rigid_horn(
+            p_all[_sample_distinct_triples(key, ransac_iterations, jnp.int32(n))],
+            q_all[_sample_distinct_triples(key, ransac_iterations, jnp.int32(n))],
+        )
+    )
+    T_batch = k_fit(key)
+    jax.block_until_ready(T_batch)
+    thresh_sq = cfg.ransac.dist_thresh**2
+    k_eval = jax.jit(
+        lambda T: _score(T[:, :3, :3], T[:, :3, 3], p_all, q_all, valid, thresh_sq)
+    )
+    counts = k_eval(T_batch)
+    jax.block_until_ready(counts)
+    for _ in range(test_iterations):
+        with profile_block("ransac_transform_batch"):
+            T_batch = k_fit(key)
+            jax.block_until_ready(T_batch)
+        with profile_block("ransac_inlier_eval_batch"):
+            counts = k_eval(T_batch)
+            jax.block_until_ready(counts)
+
+    # Phase 4: cloud copy cost (ref deepcopy benchmark :128-148) -------------
+    for _ in range(test_iterations):
+        with profile_block("cloud_device_roundtrip"):
+            host = np.asarray(src.down.points)
+            back = jnp.asarray(host)
+            jax.block_until_ready(back)
+
+    # Phase 5: full RANSAC pipeline (ref :177-202) ---------------------------
+    full = jax.jit(
+        lambda key: ransac_from_correspondences(
+            p_all,
+            q_all,
+            valid,
+            key,
+            dist_thresh=cfg.ransac.dist_thresh,
+            max_iterations=ransac_iterations,
+            batch_size=min(4096, ransac_iterations),
+        )
+    )
+    res = full(key)
+    jax.block_until_ready(res.transformation)
+    for _ in range(max(test_iterations // 10, 3)):
+        with profile_block("full_ransac_pipeline"):
+            res = full(key)
+            jax.block_until_ready(res.transformation)
+    logger.info(
+        "full RANSAC: fitness=%.4f inlier_rmse=%.4f iters=%d",
+        float(res.fitness),
+        float(res.inlier_rmse),
+        int(res.iterations),
+    )
+
+    # Phase 6: extrapolation to 10k iterations (ref :205-220) ----------------
+    stats = Profiler.get_stats()
+    batch_ms = stats["ransac_transform_batch"].avg + stats["ransac_inlier_eval_batch"].avg
+    per_iter_ms = batch_ms / ransac_iterations * 1e3
+    est_10k_s = per_iter_ms * 10_000 / 1e3
+    logger.info(
+        "per-hypothesis cost %.4f ms -> 10k-iteration estimate %.3f s "
+        "(reference CPU: 0.757 ms/iter -> 7.6 s)",
+        per_iter_ms,
+        est_10k_s,
+    )
+
+    Profiler.print_report()
+    Profiler.save_report(out_txt)
+    report = {
+        "config": {
+            "voxel_size": voxel_size,
+            "noise_ratio": noise_ratio,
+            "ransac_iterations": ransac_iterations,
+            "backend": jax.default_backend(),
+        },
+        "quality": {
+            "ransac_fitness": float(res.fitness),
+            "ransac_inlier_rmse": float(res.inlier_rmse),
+        },
+        "derived": {
+            "per_hypothesis_ms": per_iter_ms,
+            "est_10k_iterations_s": est_10k_s,
+            "hypotheses_per_sec": 1e3 / per_iter_ms if per_iter_ms else None,
+        },
+        "spans": {k: v.as_dict() for k, v in stats.items()},
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info("wrote %s and %s", out_txt, out_json)
+    return report
+
+
+def add_args(ap: argparse.ArgumentParser) -> None:
+    """Reference CLI surface (benchmark_ransac.py:283-322)."""
+    ap.add_argument("--source", default=None, help="source PLY (default: synthetic)")
+    ap.add_argument("--target", default=None, help="target PLY (default: synthetic)")
+    ap.add_argument("--voxel-size", type=float, default=0.3)
+    ap.add_argument("--noise-ratio", type=float, default=0.0)
+    ap.add_argument("--test-iterations", type=int, default=100)
+    ap.add_argument("--ransac-iterations", type=int, default=4096)
+    ap.add_argument("--out-txt", default="benchmark_results.txt")
+    ap.add_argument("--out-json", default="benchmark_results.json")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_args(ap)
+    args = ap.parse_args(argv)
+    run_comprehensive_benchmark(
+        args.source,
+        args.target,
+        voxel_size=args.voxel_size,
+        noise_ratio=args.noise_ratio,
+        test_iterations=args.test_iterations,
+        ransac_iterations=args.ransac_iterations,
+        out_txt=args.out_txt,
+        out_json=args.out_json,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,246 @@
+"""tpu3dm command-line interface.
+
+Subcommands cover every reference entry point (SURVEY.md §7.8):
+  register   — src/main.py: load two PLYs, RANSAC + ICP, export views
+  bench      — benchmark_ransac.py: comprehensive phase benchmark
+  crashtest  — test_ransac_crash.py: robustness suite (real exit code)
+  convert    — convert_stl-ply.py: STL -> PLY point cloud
+  trim       — trim_ply.py: crop a cloud (headless: bounds/fraction instead
+               of interactive selection; TPU hosts have no display)
+  trace      — _visualize_matcher.py: step-by-step RANSAC with a recorded
+               per-chunk trace + HTML snapshot instead of a GUI
+  multiway   — N-cloud alignment + pose-graph solve (no reference analog)
+
+Run ``python -m tpu3dm.apps.cli <subcommand> --help`` for options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tpu3dm.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+def _cmd_register(args) -> int:
+    import jax
+
+    from tpu3dm.core.config import PipelineConfig, PreprocessConfig
+    from tpu3dm.preprocess.pipeline import load_cloud, preprocess_points
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.registration.pipeline import register_pair
+    from tpu3dm.viz.export import export_registration_html, export_registration_ply
+
+    cfg = PipelineConfig.with_voxel_size(args.voxel_size)
+    if args.noise_sigma > 0:
+        cfg = PipelineConfig(
+            preprocess=PreprocessConfig(
+                voxel_size=args.voxel_size, noise_sigma=args.noise_sigma
+            ),
+            ransac=cfg.ransac,
+            icp=cfg.icp,
+        )
+    if args.source and args.target:
+        src = load_cloud(args.source, cfg.preprocess)
+        tgt = load_cloud(args.target, cfg.preprocess)
+    else:
+        logger.info("no files given; registering the synthetic benchmark pair")
+        s, t, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+        src = preprocess_points(s, cfg.preprocess)
+        tgt = preprocess_points(t, cfg.preprocess)
+
+    out = register_pair(src, tgt, cfg, key=jax.random.PRNGKey(args.seed))
+    T = np.asarray(out.transformation)
+    print(json.dumps({
+        "ransac": {"fitness": float(out.ransac.fitness),
+                   "inlier_rmse": float(out.ransac.inlier_rmse),
+                   "iterations": int(out.ransac.iterations)},
+        "icp": {"fitness": float(out.icp.fitness),
+                "inlier_rmse": float(out.icp.inlier_rmse),
+                "iterations": int(out.icp.iterations)},
+        "transformation": T.tolist(),
+    }, indent=2))
+    if args.out_ply:
+        export_registration_ply(args.out_ply, src.down, tgt.down, T)
+        logger.info("wrote %s", args.out_ply)
+    if args.out_html:
+        export_registration_html(
+            args.out_html, src.down, tgt.down, T,
+            info=f"fitness={float(out.icp.fitness):.3f} rmse={float(out.icp.inlier_rmse):.4f}",
+        )
+        logger.info("wrote %s", args.out_html)
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    from tpu3dm.io.ply import write_ply
+    from tpu3dm.io.stl import stl_to_point_cloud
+
+    pts = stl_to_point_cloud(args.source)
+    write_ply(args.dest, pts, binary=not args.ascii)
+    logger.info("converted %s (%d vertices) -> %s", args.source, len(pts), args.dest)
+    return 0
+
+
+def _cmd_trim(args) -> int:
+    from tpu3dm.io.crop import crop_file
+
+    kept = crop_file(
+        args.source,
+        args.dest,
+        bounds=args.bounds,
+        fraction=args.fraction,
+        axis=args.axis,
+    )
+    logger.info("wrote %s (%d points kept)", args.dest, kept)
+    return 0
+
+
+def _cmd_trace(args) -> int:
+    import jax
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.preprocess.pipeline import load_cloud, preprocess_points
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.viz.trace import traced_ransac
+    from tpu3dm.viz.export import export_iteration_trace, export_registration_html
+
+    cfg = PipelineConfig.with_voxel_size(args.voxel_size)
+    if args.source and args.target:
+        src = load_cloud(args.source, cfg.preprocess)
+        tgt = load_cloud(args.target, cfg.preprocess)
+    else:
+        s, t, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+        src = preprocess_points(s, cfg.preprocess)
+        tgt = preprocess_points(t, cfg.preprocess)
+
+    result, trace = traced_ransac(
+        src.down,
+        tgt.down,
+        cfg.ransac,
+        key=jax.random.PRNGKey(args.seed),
+        noise_ratio=args.noise_ratio,
+        chunk=args.update_interval,
+    )
+    export_iteration_trace(args.out, trace)
+    logger.info("wrote %s (%d trace rows)", args.out, len(trace))
+    if args.out_html:
+        export_registration_html(
+            args.out_html, src.down, tgt.down, np.asarray(result.transformation),
+            info=f"traced RANSAC best fitness={float(result.fitness):.3f}",
+        )
+        logger.info("wrote %s", args.out_html)
+    return 0
+
+
+def _cmd_multiway(args) -> int:
+    import jax
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.multiway.posegraph import register_multiway
+    from tpu3dm.preprocess.pipeline import load_cloud
+
+    cfg = PipelineConfig.with_voxel_size(args.voxel_size)
+    clouds = [load_cloud(p, cfg.preprocess) for p in args.files]
+    out = register_multiway(clouds, cfg, key=jax.random.PRNGKey(args.seed))
+    payload = {
+        "poses": out.poses.tolist(),
+        "edges": out.edges.tolist(),
+        "edge_fitness": out.edge_fitness.tolist(),
+    }
+    Path(args.out).write_text(json.dumps(payload, indent=2))
+    logger.info("wrote %s (%d poses)", args.out, len(out.poses))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tpu3dm", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("register", help="register two point clouds (main.py parity)")
+    p.add_argument("source", nargs="?", default=None)
+    p.add_argument("target", nargs="?", default=None)
+    p.add_argument("--voxel-size", type=float, default=0.3)
+    p.add_argument("--noise-sigma", type=float, default=0.0,
+                   help="loader Gaussian noise (reference always-on value: 0.05)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-ply", default=None)
+    p.add_argument("--out-html", default=None)
+    p.set_defaults(fn=_cmd_register)
+
+    p = sub.add_parser("bench", help="comprehensive benchmark (benchmark_ransac.py parity)")
+    from tpu3dm.apps.benchmark import add_args as bench_args, main as bench_main
+
+    bench_args(p)
+    p.set_defaults(fn=lambda a: bench_main(_reargs(a)))
+
+    p = sub.add_parser("crashtest", help="robustness suite (test_ransac_crash.py parity)")
+    from tpu3dm.apps.crashtest import main as crash_main
+
+    p.set_defaults(fn=lambda a: crash_main([]))
+
+    p = sub.add_parser("convert", help="STL -> PLY (convert_stl-ply.py parity)")
+    p.add_argument("source")
+    p.add_argument("dest")
+    p.add_argument("--ascii", action="store_true", help="write ASCII PLY (reference default)")
+    p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("trim", help="crop a cloud (trim_ply.py headless parity)")
+    p.add_argument("source")
+    p.add_argument("dest")
+    p.add_argument("--bounds", type=float, nargs=6, default=None,
+                   metavar=("XMIN", "XMAX", "YMIN", "YMAX", "ZMIN", "ZMAX"))
+    p.add_argument("--fraction", type=float, default=None,
+                   help="keep the lower fraction along --axis")
+    p.add_argument("--axis", type=int, default=0)
+    p.set_defaults(fn=_cmd_trim)
+
+    p = sub.add_parser("trace", help="step-by-step RANSAC trace (visualize_matcher parity)")
+    p.add_argument("source", nargs="?", default=None)
+    p.add_argument("target", nargs="?", default=None)
+    p.add_argument("--voxel-size", type=float, default=0.3)
+    p.add_argument("--noise-ratio", type=float, default=2.0,
+                   help="bogus-correspondence ratio (reference default 2.0)")
+    p.add_argument("--update-interval", type=int, default=256,
+                   help="hypotheses per trace row")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="ransac_trace.jsonl")
+    p.add_argument("--out-html", default=None)
+    p.set_defaults(fn=_cmd_trace)
+
+    p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--voxel-size", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="multiway_poses.json")
+    p.set_defaults(fn=_cmd_multiway)
+
+    return ap
+
+
+def _reargs(a) -> list[str]:
+    """Re-serialize bench args for the benchmark module's own parser."""
+    out = []
+    for k in ("source", "target"):
+        v = getattr(a, k)
+        if v:
+            out += [f"--{k}", v]
+    for k in ("voxel_size", "noise_ratio", "test_iterations", "ransac_iterations"):
+        out += [f"--{k.replace('_', '-')}", str(getattr(a, k))]
+    out += ["--out-txt", a.out_txt, "--out-json", a.out_json]
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Multi-way registration: pairwise fan-out + pose-graph consistency solve.
+
+No reference counterpart (the reference registers exactly one pair,
+src/main.py:26-38); required by BASELINE.json config 5: "N clouds aligned
+pairwise + pose-graph consistency, sharded across hosts".
+
+Pipeline:
+  1. Pairwise registration of an edge list (chain + loop-closure edges by
+     default) using the standard RANSAC+ICP pair pipeline — embarrassingly
+     parallel, fanned out across devices/hosts by the pair-DP machinery.
+  2. Pose-graph optimization: absolute poses {P_i} (P_0 = I gauge) minimizing
+     sum_e w_e || log_se3( T_e^-1 * P_je^-1 * P_ie ) ||^2 by Gauss-Newton on
+     the SE(3) manifold.  The Jacobian comes from jax.jacfwd of the residual
+     map over the per-node tangent updates — exact, no hand-derived Jacobian
+     blocks — and the 6N x 6N normal equations are solved densely (N is
+     hundreds of clouds at most; the heavy work is step 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dm.core import se3
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "iterations"))
+def optimize_pose_graph(
+    T_meas: jax.Array,
+    edges: jax.Array,
+    weights: jax.Array,
+    *,
+    n_nodes: int,
+    iterations: int = 20,
+    damping: float = 1e-6,
+) -> jax.Array:
+    """Absolute poses from relative measurements.
+
+    Args:
+      T_meas: [E, 4, 4] relative transforms; edge e with (i, j) satisfies
+        x_j ~= T_e x_i for points expressed in the two cloud frames.
+      edges: [E, 2] int32 (i, j) node indices.
+      weights: [E] nonnegative edge weights (e.g. registration fitness).
+      n_nodes: number of clouds N.
+      iterations: Gauss-Newton iterations.
+
+    Returns:
+      [N, 4, 4] world-from-cloud poses with pose 0 = identity (gauge).
+    """
+    E = T_meas.shape[0]
+    T_inv = se3.inverse(T_meas)
+    ii = edges[:, 0]
+    jj = edges[:, 1]
+    sqrt_w = jnp.sqrt(jnp.maximum(weights, 0.0))
+
+    def residuals(deltas: jax.Array, poses: jax.Array) -> jax.Array:
+        """[E*6] weighted stacked residuals at poses perturbed by deltas."""
+        P = poses @ se3.exp_se3(deltas)  # [N,4,4] right-perturbation
+        Pi = P[ii]
+        Pj = P[jj]
+        M = T_inv @ se3.inverse(Pj) @ Pi
+        r = se3.log_se3(M)  # [E, 6]
+        return (sqrt_w[:, None] * r).reshape(-1)
+
+    def gn_step(poses, _):
+        zeros = jnp.zeros((n_nodes, 6), jnp.float32)
+        r0 = residuals(zeros, poses)
+        J = jax.jacfwd(lambda d: residuals(d, poses))(zeros)  # [E*6, N, 6]
+        J = J.reshape(E * 6, n_nodes * 6)
+        # Gauge fix: freeze node 0 by zeroing its columns and pinning its
+        # diagonal block.
+        mask = jnp.concatenate([jnp.zeros(6), jnp.ones((n_nodes - 1) * 6)])
+        J = J * mask[None, :]
+        A = J.T @ J
+        A = A + (damping * jnp.trace(A) / (6 * n_nodes) + 1e-10) * jnp.eye(6 * n_nodes)
+        A = A + jnp.diag(1.0 - mask)  # pin frozen coords
+        b = -J.T @ r0
+        delta = jnp.linalg.solve(A, b).reshape(n_nodes, 6)
+        delta = delta * mask.reshape(n_nodes, 6)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        poses = poses @ se3.exp_se3(delta)
+        return poses, jnp.sum(r0 * r0)
+
+    init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_nodes, 4, 4))
+    poses, costs = jax.lax.scan(gn_step, init, None, length=iterations)
+    return poses
+
+
+@dataclasses.dataclass
+class MultiwayResult:
+    poses: np.ndarray  # [N, 4, 4] world-from-cloud
+    edges: np.ndarray  # [E, 2]
+    edge_transforms: np.ndarray  # [E, 4, 4]
+    edge_fitness: np.ndarray  # [E]
+
+
+def default_edges(n: int, loop_closure: bool = True) -> list[tuple[int, int]]:
+    """Chain 0-1-2-...-(n-1) plus the closing edge (n-1, 0)."""
+    edges = [(i, i + 1) for i in range(n - 1)]
+    if loop_closure and n > 2:
+        edges.append((n - 1, 0))
+    return edges
+
+
+def register_multiway(
+    clouds,
+    config=None,
+    *,
+    edges: list[tuple[int, int]] | None = None,
+    key=None,
+    pose_graph_iters: int = 20,
+) -> MultiwayResult:
+    """Align N preprocessed clouds into one frame.
+
+    Pairwise RANSAC+ICP along the edge list, then the pose-graph solve.
+    ``clouds`` are ProcessedCloud objects (preprocess/pipeline.py).
+    """
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.registration.pipeline import register_pair
+
+    n = len(clouds)
+    if n < 2:
+        raise ValueError("multiway registration needs >= 2 clouds")
+    if edges is None:
+        edges = default_edges(n)
+    if config is None:
+        config = PipelineConfig.with_voxel_size(clouds[0].voxel_size)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    T_list, fit_list = [], []
+    for e, (i, j) in enumerate(edges):
+        key, k = jax.random.split(key)
+        out = register_pair(clouds[i], clouds[j], config, key=k)
+        T_list.append(np.asarray(out.transformation))
+        fit_list.append(float(out.icp.fitness))
+
+    T_meas = jnp.asarray(np.stack(T_list), jnp.float32)
+    e_arr = jnp.asarray(np.asarray(edges, np.int32))
+    w_arr = jnp.asarray(np.asarray(fit_list, np.float32))
+    poses = optimize_pose_graph(
+        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters
+    )
+    return MultiwayResult(
+        poses=np.asarray(poses),
+        edges=np.asarray(edges),
+        edge_transforms=np.stack(T_list),
+        edge_fitness=np.asarray(fit_list),
+    )
