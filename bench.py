@@ -39,17 +39,16 @@ def log(*a):
 def main() -> None:
     import jax
 
-    # Persistent compile cache: first bench run pays ~4 min of XLA compiles
-    # (preprocess + fused step); subsequent runs hit the cache.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NOTE: do NOT enable jax_compilation_cache_dir here.  On this axon
+    # remote-compile stack, cache-deserialized executables run ~250x slower
+    # than freshly compiled ones (measured 25 ms vs 0.1 ms for the same
+    # program) — paying recompiles is far cheaper.
     import jax.numpy as jnp
 
     from tpu3dm.core.config import PipelineConfig
     from tpu3dm.io.synthetic import make_benchmark_pair
     from tpu3dm.preprocess.pipeline import preprocess_points
     from tpu3dm.registration.fused import fused_register_step
-    from tpu3dm.core import se3
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = PipelineConfig.with_voxel_size(0.3)
@@ -61,8 +60,12 @@ def main() -> None:
     tgt = preprocess_points(tgt_pts, cfg.preprocess)
     log(
         f"preprocess: {time.time()-t0:.2f}s  down counts: "
-        f"{int(src.down.count)}/{int(tgt.down.count)} (cap {src.down.capacity})"
+        f"{int(np.asarray(src.down.mask).sum())}/{int(np.asarray(tgt.down.mask).sum())} "
+        f"(cap {src.down.capacity})"
     )
+    from tpu3dm.utils.profiler import Profiler
+
+    log(Profiler.report())
 
     sd, td = src.down, tgt.down
 
@@ -87,21 +90,22 @@ def main() -> None:
     log(f"compile+first batch: {time.time()-t0:.2f}s")
 
     # Quality gate: the benchmark only counts if registration actually works.
+    # Quality gate in NumPy: eager jnp math costs a remote compile per op.
     T_est = np.asarray(out[0][0])
-    rot_err = float(
-        se3.rotation_geodesic_deg(
-            jnp.asarray(T_est[:3, :3]), jnp.asarray(T_true[:3, :3].astype(np.float32))
-        )
-    )
+    M = T_est[:3, :3] @ T_true[:3, :3].T
+    rot_err = float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
     moved = src_pts @ T_est[:3, :3].T + T_est[:3, 3]
     expect = src_pts @ T_true[:3, :3].T + T_true[:3, 3]
     rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
     log(f"quality: rot_err={rot_err:.3f} deg, alignment rmse={rmse:.4f}, "
         f"ransac_fitness={float(out[1][0]):.3f}")
 
+    # Pre-split all keys: eager jax.random ops inside the timed loop would
+    # trigger remote compiles on first use.
+    all_keys = [jax.random.split(jax.random.PRNGKey(100 + i), PAIR_BATCH) for i in range(TIMED_REPS)]
+    jax.block_until_ready(all_keys)
     times = []
-    for _ in range(TIMED_REPS):
-        keys = jax.random.split(keys[0], PAIR_BATCH)
+    for keys in all_keys:
         t0 = time.time()
         out = batched(keys)
         jax.block_until_ready(out)

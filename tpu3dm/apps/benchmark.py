@@ -32,7 +32,7 @@ from tpu3dm.registration.ransac import (
     _sample_distinct_triples,
     ransac_from_correspondences,
 )
-from tpu3dm.ops.ransac_score import score_hypotheses_xla, score_hypotheses_pallas
+from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.utils.logging import setup_logging
 from tpu3dm.utils.profiler import Profiler, profile_block
 
@@ -40,9 +40,7 @@ logger = setup_logging(__name__)
 
 
 def _score(R, t, p, q, m, th):
-    if jax.default_backend() == "cpu":
-        return score_hypotheses_xla(R, t, p, q, m, th)
-    return score_hypotheses_pallas(R, t, p, q, m, th)
+    return score_hypotheses(R, t, p, q, m, th)
 
 
 def run_comprehensive_benchmark(

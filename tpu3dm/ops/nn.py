@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(1.0e30)
+# Python float, NOT jnp.float32(...): a module-level device-array constant
+# captured inside vmapped code makes StableHLO lowering on the axon remote
+# backend take ~200 s (measured) vs 0.01 s for a literal, and long
+# compiles degrade the session to a ~25 ms/dispatch floor.
+BIG = 1.0e30
 
 
 def _prep(points: jax.Array, mask: jax.Array | None) -> tuple[jax.Array, jax.Array]:
@@ -179,7 +183,7 @@ def nn_search_pallas(
     nt_p = ((nt + tile_t - 1) // tile_t) * tile_t
     query_p = padto(query, nq_p)
     target_p = padto(target, nt_p)
-    tgt_sq_p = padto(tgt_sq, nt_p, fill=float(BIG))
+    tgt_sq_p = padto(tgt_sq, nt_p, fill=BIG)
 
     grid = (nq_p // tile_q, nt_p // tile_t)
     d2, idx = pl.pallas_call(
@@ -206,6 +210,41 @@ def nn_search_pallas(
     return best_d2, idx[0, :nq]
 
 
+# ---------------------------------------------------------------------------
+# Dense (full-materialization) implementation + dispatcher
+# ---------------------------------------------------------------------------
+
+# Below this many query x target entries the [Nq, Nt] distance matrix is
+# materialized outright: XLA fuses it into one batched matmul + argmin, which
+# measured 300x faster than per-call tiled kernels at registration scales
+# (0.09 ms vs 27 ms for 16 vmapped 768x768x33 searches on v5e).  Above it,
+# the Pallas kernel keeps the matrix out of HBM.
+DENSE_MAX_ENTRIES = 1 << 24  # 16M entries = 64 MB fp32
+
+
+def nn_search_dense(
+    query: jax.Array,
+    target: jax.Array,
+    query_mask: jax.Array | None = None,
+    target_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-1 NN with the distance matrix materialized (supports leading batch
+    dims).  Best for small/medium clouds; fuses to one MXU matmul + argmin."""
+    tsq = jnp.sum(target * target, axis=-1)
+    if target_mask is not None:
+        tsq = jnp.where(target_mask, tsq, BIG)
+    cross = jnp.einsum("...nd,...md->...nm", query, target)
+    d2 = tsq[..., None, :] - 2.0 * cross
+    # Two lane-axis reductions — NOT argmin + take_along_axis: a dynamic
+    # gather along the minor (lane) dimension lowers to a ~300x slower HLO on
+    # TPU (measured 25 ms vs 0.1 ms at [16, 768, 768]); reductions fuse into
+    # the matmul epilogue.
+    idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    best = jnp.min(d2, axis=-1)
+    best = best + jnp.sum(query * query, axis=-1)
+    return jnp.maximum(best, 0.0), idx
+
+
 def nn_search(
     query: jax.Array,
     target: jax.Array,
@@ -213,7 +252,13 @@ def nn_search(
     target_mask: jax.Array | None = None,
     **kw,
 ) -> tuple[jax.Array, jax.Array]:
-    """Backend-dispatching top-1 NN search."""
+    """Size- and backend-adaptive top-1 NN search.
+
+    Dense path when the distance matrix fits comfortably (DENSE_MAX_ENTRIES);
+    otherwise the tiled Pallas kernel on TPU or chunked XLA elsewhere.
+    """
+    if query.shape[-2] * target.shape[-2] <= DENSE_MAX_ENTRIES:
+        return nn_search_dense(query, target, query_mask, target_mask)
     if jax.default_backend() in ("cpu",):
         return nn_search_xla(query, target, query_mask, target_mask)
     return nn_search_pallas(query, target, query_mask, target_mask, **kw)

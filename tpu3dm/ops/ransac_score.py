@@ -205,6 +205,28 @@ def score_hypotheses_pallas(
     return counts[0, :k]
 
 
+# Below this many hypothesis x correspondence entries the [K, N] score matrix
+# is materialized outright (one batched MXU matmul + compare + reduce, fully
+# fused by XLA).  Above it, the Pallas kernel tiles with on-chip accumulation.
+DENSE_MAX_ENTRIES = 1 << 24  # 16M entries = 64 MB fp32
+
+
+def score_hypotheses_dense(
+    R: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    q: jax.Array,
+    mask: jax.Array,
+    dist_thresh_sq: jax.Array | float,
+) -> jax.Array:
+    """Inlier counts with the [K, N] distance matrix materialized."""
+    F, c = corres_features(p, q)
+    H, e = hypothesis_features(R, t)
+    d2 = H @ F.T + c[None, :] + e[:, None]
+    hits = (d2 < jnp.asarray(dist_thresh_sq, jnp.float32)) & mask[None, :]
+    return jnp.sum(hits, axis=1, dtype=jnp.int32)
+
+
 def score_hypotheses(
     R: jax.Array,
     t: jax.Array,
@@ -214,7 +236,9 @@ def score_hypotheses(
     dist_thresh_sq: jax.Array | float,
     **kw,
 ) -> jax.Array:
-    """Backend-dispatching hypothesis scorer → inlier counts [K] int32."""
+    """Size- and backend-adaptive hypothesis scorer → inlier counts [K] int32."""
+    if R.shape[0] * p.shape[0] <= DENSE_MAX_ENTRIES:
+        return score_hypotheses_dense(R, t, p, q, mask, dist_thresh_sq)
     if jax.default_backend() in ("cpu",):
         return score_hypotheses_xla(R, t, p, q, mask, dist_thresh_sq)
     return score_hypotheses_pallas(R, t, p, q, mask, dist_thresh_sq, **kw)

@@ -20,16 +20,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+from tpu3dm.ops.compact import compaction_permutation
+from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.parallel.mesh import PAIR_AXIS
 from tpu3dm.registration.kabsch import fit_rigid_horn
 from tpu3dm.registration.ransac import _edge_length_ok, _sample_distinct_triples
 
 
 def _score(R, t, p, q, mask, thresh_sq):
-    if jax.default_backend() == "cpu":
-        return score_hypotheses_xla(R, t, p, q, mask, thresh_sq)
-    return score_hypotheses_pallas(R, t, p, q, mask, thresh_sq)
+    return score_hypotheses(R, t, p, q, mask, thresh_sq)
 
 
 def ransac_pair_step(
@@ -48,7 +47,7 @@ def ransac_pair_step(
     Returns (best_T [4,4], best_count scalar int32).
     """
     thresh_sq = jnp.float32(dist_thresh) ** 2
-    order = jnp.argsort(~valid)
+    order = compaction_permutation(valid)
     p_all = p_all[order]
     q_all = q_all[order]
     valid = valid[order]

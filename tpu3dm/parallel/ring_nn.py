@@ -21,14 +21,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from tpu3dm.ops.nn import nn_search_pallas, nn_search_xla
+from tpu3dm.ops.nn import nn_search
 from tpu3dm.parallel.mesh import BLOCK_AXIS
 
 
 def _local_nn(query, target, tmask):
-    if jax.default_backend() == "cpu":
-        return nn_search_xla(query, target, None, tmask)
-    return nn_search_pallas(query, target, None, tmask)
+    return nn_search(query, target, None, tmask)
 
 
 def ring_nn_search(

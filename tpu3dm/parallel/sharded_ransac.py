@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+from tpu3dm.ops.compact import compaction_permutation
+from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.parallel.mesh import BLOCK_AXIS
 from tpu3dm.registration.kabsch import fit_rigid_horn
 from tpu3dm.registration.ransac import _edge_length_ok, _sample_distinct_triples
@@ -23,9 +24,7 @@ from tpu3dm.registration.result import RegistrationResult
 
 
 def _score(R, t, p, q, mask, thresh_sq):
-    if jax.default_backend() == "cpu":
-        return score_hypotheses_xla(R, t, p, q, mask, thresh_sq)
-    return score_hypotheses_pallas(R, t, p, q, mask, thresh_sq)
+    return score_hypotheses(R, t, p, q, mask, thresh_sq)
 
 
 def sharded_ransac(
@@ -52,7 +51,7 @@ def sharded_ransac(
     thresh_sq = thresh * thresh
 
     # Compact valid rows forward (replicated op) for uniform index sampling.
-    order = jnp.argsort(~valid)
+    order = compaction_permutation(valid)
     p_all = p_all[order]
     q_all = q_all[order]
     valid = valid[order]

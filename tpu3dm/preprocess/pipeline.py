@@ -32,7 +32,7 @@ from tpu3dm.core.config import PreprocessConfig
 from tpu3dm.io.ply import read_ply
 from tpu3dm.preprocess.fpfh import compute_fpfh
 from tpu3dm.preprocess.normals import estimate_normals
-from tpu3dm.preprocess.voxel import compact, voxel_downsample
+from tpu3dm.preprocess.voxel import compact, voxel_downsample, voxel_downsample_host
 from tpu3dm.utils.logging import setup_logging
 
 logger = setup_logging(__name__)
@@ -58,10 +58,19 @@ def preprocess_points(
     path: Path | None = None,
 ) -> ProcessedCloud:
     """Run the full preprocessing chain on raw host points."""
-    full = from_numpy(points)
-    down = compact(voxel_downsample(full, config.voxel_size))
-    down = estimate_normals(down, config.normal_radius)
-    down = compute_fpfh(down, config.fpfh_radius)
+    from tpu3dm.utils.profiler import profile_block
+
+    with profile_block("preprocess/from_numpy"):
+        full = from_numpy(points)
+        jax.block_until_ready(full.points)
+    with profile_block("preprocess/voxel_downsample"):
+        down = voxel_downsample_host(points, config.voxel_size)
+    with profile_block("preprocess/normals_down"):
+        down = estimate_normals(down, config.normal_radius)
+        jax.block_until_ready(down.normals)
+    with profile_block("preprocess/fpfh"):
+        down = compute_fpfh(down, config.fpfh_radius)
+        jax.block_until_ready(down.features)
 
     if config.noise_sigma > 0.0:
         if key is None:
@@ -70,11 +79,16 @@ def preprocess_points(
         noisy = jnp.where(down.mask[:, None], down.points + noise, 0.0)
         down = down.with_(points=noisy)
 
-    full = estimate_normals(full, config.normal_radius)
+    with profile_block("preprocess/normals_full"):
+        full = estimate_normals(full, config.normal_radius)
+        jax.block_until_ready(full.normals)
+    # Host-side count (np, not the traced .count property): an eager jnp op
+    # here costs a full remote compile (~30 s) on the axon backend.
+    n_down = int(np.asarray(down.mask).sum())
     logger.info(
         "Preprocessed cloud: %d points -> %d downsampled (voxel %.3g)",
         points.shape[0],
-        int(down.count),
+        n_down,
         config.voxel_size,
     )
     return ProcessedCloud(full=full, down=down, voxel_size=config.voxel_size, path=path)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from tpu3dm.core.cloud import PointCloud, from_numpy, to_numpy
 
-_INT_BIG = jnp.int32(2**30)
+_INT_BIG = 2**30  # Python int: module-level jnp constants poison axon lowering
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -75,3 +75,30 @@ def compact(pc: PointCloud, pad_multiple: int = 256) -> PointCloud:
     """
     data = to_numpy(pc)
     return from_numpy(data["points"], pad_multiple=pad_multiple)
+
+
+def voxel_downsample_host(
+    points, voxel_size: float, pad_multiple: int = 256
+) -> PointCloud:
+    """Host-side (NumPy) voxel downsample for the ingest path.
+
+    Same semantics as ``voxel_downsample`` (mean per occupied voxel, min-bound
+    origin, lexicographic voxel order) at host speed.  The device version's
+    lexsort costs ~37 s of TPU *compile* time at 20k points on the remote
+    compiler — ingest is an IO-boundary stage (like PLY parsing), so it runs
+    on host; the jittable device version remains for fully-fused pipelines
+    and CPU-backend tests.
+    """
+    import numpy as np
+
+    pts = np.asarray(points, dtype=np.float64)
+    lo = pts.min(axis=0)
+    ijk = np.floor((pts - lo[None, :]) / float(voxel_size)).astype(np.int64)
+    # unique(axis=0) sorts lexicographically — matching the device version.
+    _, inverse, counts = np.unique(
+        ijk, axis=0, return_inverse=True, return_counts=True
+    )
+    sums = np.zeros((counts.shape[0], 3), dtype=np.float64)
+    np.add.at(sums, inverse, pts)
+    means = (sums / counts[:, None]).astype(np.float32)
+    return from_numpy(means, pad_multiple=pad_multiple)

@@ -21,13 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dm.core.cloud import PointCloud
-from tpu3dm.ops.nn import nn_search_xla, nn_search_pallas
+from tpu3dm.ops.nn import nn_search
 
 
 def _feature_nn(query_f, target_f, query_mask, target_mask):
-    if jax.default_backend() == "cpu":
-        return nn_search_xla(query_f, target_f, query_mask, target_mask)
-    return nn_search_pallas(query_f, target_f, query_mask, target_mask)
+    return nn_search(query_f, target_f, query_mask, target_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("mutual_filter",))
@@ -74,12 +72,11 @@ def feature_correspondences(
         # into the list (ransac.py:92-99).
         p_corrupt = noise_ratio / (1.0 + noise_ratio)
         corrupt = (jax.random.uniform(k1, (ns,)) < p_corrupt) & valid
+        # Random indices land in [0, count): valid points occupy the first
+        # `count` slots for compacted clouds (the preprocess pipeline
+        # guarantees this layout).
         n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.int32)), 1)
         n_tgt = jnp.maximum(jnp.sum(tgt.mask.astype(jnp.int32)), 1)
-        # Valid rows are compacted to the front in our layout? Not guaranteed —
-        # draw indices in [0, capacity) and remap modulo the valid count using
-        # the identity layout (valid points occupy the first `count` slots for
-        # compacted clouds, which preprocess guarantees).
         rand_src = jax.random.randint(k2, (ns,), 0, n_src)
         rand_tgt = jax.random.randint(k3, (ns,), 0, n_tgt)
         noisy = jnp.stack([rand_src, rand_tgt], axis=1)

@@ -25,14 +25,12 @@ import jax.numpy as jnp
 from tpu3dm.core import se3
 from tpu3dm.core.cloud import PointCloud
 from tpu3dm.core.config import IcpConfig
-from tpu3dm.ops.nn import nn_search_pallas, nn_search_xla
+from tpu3dm.ops.nn import nn_search
 from tpu3dm.registration.result import RegistrationResult
 
 
 def _nn(query, target, qmask, tmask):
-    if jax.default_backend() == "cpu":
-        return nn_search_xla(query, target, qmask, tmask)
-    return nn_search_pallas(query, target, qmask, tmask)
+    return nn_search(query, target, qmask, tmask)
 
 
 @functools.partial(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from tpu3dm.core.cloud import PointCloud
 from tpu3dm.core.config import RansacConfig
-from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.registration.kabsch import fit_rigid_horn
 from tpu3dm.registration.result import RegistrationResult
 
@@ -67,9 +67,7 @@ def _edge_length_ok(ps: jax.Array, qs: jax.Array, ratio: float) -> jax.Array:
 
 
 def _score(R, t, p, q, mask, thresh_sq):
-    if jax.default_backend() == "cpu":
-        return score_hypotheses_xla(R, t, p, q, mask, thresh_sq)
-    return score_hypotheses_pallas(R, t, p, q, mask, thresh_sq)
+    return score_hypotheses(R, t, p, q, mask, thresh_sq)
 
 
 @functools.partial(
@@ -107,8 +105,10 @@ def ransac_from_correspondences(
     conf = jnp.asarray(confidence, jnp.float32)
 
     # Compact valid correspondences to the front so index sampling is uniform
-    # over real pairs.
-    order = jnp.argsort(~valid)  # stable: valid rows first
+    # over real pairs (sort-free: ops/compact.py).
+    from tpu3dm.ops.compact import compaction_permutation
+
+    order = compaction_permutation(valid)
     p_all = p_all[order]
     q_all = q_all[order]
     valid = valid[order]

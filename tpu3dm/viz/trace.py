@@ -21,7 +21,8 @@ import numpy as np
 
 from tpu3dm.core.cloud import PointCloud
 from tpu3dm.core.config import RansacConfig
-from tpu3dm.ops.ransac_score import score_hypotheses_pallas, score_hypotheses_xla
+from tpu3dm.ops.compact import compaction_permutation
+from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.registration.correspondence import feature_correspondences, gather_pairs
 from tpu3dm.registration.kabsch import fit_rigid_horn
 from tpu3dm.registration.ransac import _sample_distinct_triples
@@ -32,9 +33,7 @@ logger = setup_logging(__name__)
 
 
 def _score(R, t, p, q, m, th):
-    if jax.default_backend() == "cpu":
-        return score_hypotheses_xla(R, t, p, q, m, th)
-    return score_hypotheses_pallas(R, t, p, q, m, th)
+    return score_hypotheses(R, t, p, q, m, th)
 
 
 def compute_required_iterations(
@@ -71,7 +70,7 @@ def traced_ransac(
         src, tgt, mutual_filter=False, noise_ratio=noise_ratio, key=k_corr
     )
     p_all, q_all = gather_pairs(src, tgt, pairs)
-    order = jnp.argsort(~valid)
+    order = compaction_permutation(valid)
     p_all, q_all, valid = p_all[order], q_all[order], valid[order]
     n_valid = int(jnp.sum(valid.astype(jnp.int32)))
     thresh_sq = jnp.float32(config.dist_thresh) ** 2
