@@ -124,7 +124,35 @@ def read_ply(path: str | Path) -> dict[str, np.ndarray]:
 
 
 def _read_ascii_elements(f, elements):
-    text = f.read().decode("ascii", errors="replace")
+    raw = f.read()
+
+    # Native fast path: with only scalar properties the payload is one flat
+    # numeric stream — the C++ parser (native/tpu3dm_native.cpp) reads it
+    # ~20x faster than Python tokenization.
+    if not any(
+        d.startswith("LIST") for _, _, props in elements for _, d in props
+    ):
+        total = sum(count * len(props) for _, count, props in elements)
+        try:
+            from tpu3dm import native
+
+            flat_all = native.parse_floats(raw, total)
+        except ValueError as e:
+            raise PlyError(f"Bad ASCII payload: {e}") from e
+        if flat_all is not None:
+            out = {}
+            pos = 0
+            for name, count, props in elements:
+                width = len(props)
+                table = flat_all[pos : pos + count * width].reshape(count, width)
+                pos += count * width
+                out[name] = np.rec.fromarrays(
+                    [table[:, i].astype(d) for i, (_, d) in enumerate(props)],
+                    names=[n for n, _ in props],
+                )
+            return out
+
+    text = raw.decode("ascii", errors="replace")
     tokens = text.split()
     pos = 0
     out = {}

@@ -92,6 +92,13 @@ def voxel_downsample_host(
     import numpy as np
 
     pts = np.asarray(points, dtype=np.float64)
+
+    from tpu3dm import native
+
+    means_nat = native.voxel_downsample(pts, voxel_size)
+    if means_nat is not None:
+        return from_numpy(means_nat.astype(np.float32), pad_multiple=pad_multiple)
+
     lo = pts.min(axis=0)
     ijk = np.floor((pts - lo[None, :]) / float(voxel_size)).astype(np.int64)
     # unique(axis=0) sorts lexicographically — matching the device version.
