@@ -148,7 +148,12 @@ def _cmd_multiway(args) -> int:
 
     cfg = PipelineConfig.with_voxel_size(args.voxel_size)
     clouds = [load_cloud(p, cfg.preprocess) for p in args.files]
-    out = register_multiway(clouds, cfg, key=jax.random.PRNGKey(args.seed))
+    out = register_multiway(
+        clouds,
+        cfg,
+        key=jax.random.PRNGKey(args.seed),
+        checkpoint_dir=args.checkpoint_dir,
+    )
     payload = {
         "poses": out.poses.tolist(),
         "edges": out.edges.tolist(),
@@ -219,6 +224,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voxel-size", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="multiway_poses.json")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable run: completed edges are persisted here and "
+                        "skipped on re-run")
     p.set_defaults(fn=_cmd_multiway)
 
     return ap

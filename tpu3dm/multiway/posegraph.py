@@ -113,11 +113,16 @@ def register_multiway(
     edges: list[tuple[int, int]] | None = None,
     key=None,
     pose_graph_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> MultiwayResult:
     """Align N preprocessed clouds into one frame.
 
     Pairwise RANSAC+ICP along the edge list, then the pose-graph solve.
     ``clouds`` are ProcessedCloud objects (preprocess/pipeline.py).
+
+    With ``checkpoint_dir`` the run is resumable: each completed edge is
+    persisted (multiway/checkpoint.py) and skipped on re-run; final poses are
+    saved to ``poses.npz``.
     """
     from tpu3dm.core.config import PipelineConfig
     from tpu3dm.registration.pipeline import register_pair
@@ -132,12 +137,42 @@ def register_multiway(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    store = None
+    if checkpoint_dir is not None:
+        from tpu3dm.multiway.checkpoint import CheckpointStore, EdgeRecord
+
+        store = CheckpointStore(checkpoint_dir)
+        store.write_manifest(
+            n_clouds=n,
+            edges=[list(e) for e in edges],
+            voxel_size=float(clouds[0].voxel_size),
+        )
+
     T_list, fit_list = [], []
     for e, (i, j) in enumerate(edges):
+        # PRNG key consumption is per-edge and unconditional so that a
+        # resumed run reproduces the exact keys of an uninterrupted one.
         key, k = jax.random.split(key)
+        if store is not None:
+            rec = store.get_edge(i, j)
+            if rec is not None:
+                T_list.append(np.asarray(rec.transformation))
+                fit_list.append(rec.fitness)
+                continue
         out = register_pair(clouds[i], clouds[j], config, key=k)
         T_list.append(np.asarray(out.transformation))
         fit_list.append(float(out.icp.fitness))
+        if store is not None:
+            store.put_edge(
+                i,
+                j,
+                EdgeRecord(
+                    transformation=np.asarray(out.transformation),
+                    fitness=float(out.icp.fitness),
+                    inlier_rmse=float(out.icp.inlier_rmse),
+                    iterations=int(out.icp.iterations),
+                ),
+            )
 
     T_meas = jnp.asarray(np.stack(T_list), jnp.float32)
     e_arr = jnp.asarray(np.asarray(edges, np.int32))
@@ -145,8 +180,11 @@ def register_multiway(
     poses = optimize_pose_graph(
         T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters
     )
+    poses_np = np.asarray(poses)
+    if store is not None:
+        store.write_poses(poses_np)
     return MultiwayResult(
-        poses=np.asarray(poses),
+        poses=poses_np,
         edges=np.asarray(edges),
         edge_transforms=np.stack(T_list),
         edge_fitness=np.asarray(fit_list),
