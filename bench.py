@@ -28,8 +28,11 @@ BASELINE_PAIRS_PER_SEC = 1.0 / ((8.98 + 21.12) * 1e-3)
 
 RANSAC_HYPOTHESES = 4096
 ICP_ITERS = 8
-PAIR_BATCH = 16
-TIMED_REPS = 8
+# Dispatch overhead through the axon tunnel is ~25-40 ms/call with a
+# ~0.9 ms/pair marginal cost (measured scan: B=16 -> 388 pairs/s, B=64 ->
+# 713, B=128 -> 872), so a large pair batch amortizes the fixed cost.
+PAIR_BATCH = 256
+TIMED_REPS = 6
 
 
 def log(*a):
@@ -51,6 +54,16 @@ def main() -> None:
     from tpu3dm.registration.fused import fused_register_step
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    # Session warm-up: the first device round trip of a process pays axon
+    # session establishment (measured 33-465 s, independent of program).
+    # Paying it here keeps every later stage timing honest.  NOTE:
+    # jax.block_until_ready does not truly fence on this platform — only a
+    # D2H transfer (np.asarray) does.
+    t0 = time.time()
+    np.asarray(jax.device_put(np.ones(8, np.float32)))
+    log(f"session warm-up: {time.time()-t0:.2f}s")
+
     cfg = PipelineConfig.with_voxel_size(0.3)
 
     # Benchmark pair: dental-arch-like clouds, reference magnitude transform.
@@ -58,6 +71,7 @@ def main() -> None:
     t0 = time.time()
     src = preprocess_points(src_pts, cfg.preprocess)
     tgt = preprocess_points(tgt_pts, cfg.preprocess)
+    np.asarray(src.full.normals)  # real device fence
     log(
         f"preprocess: {time.time()-t0:.2f}s  down counts: "
         f"{int(np.asarray(src.down.mask).sum())}/{int(np.asarray(tgt.down.mask).sum())} "
@@ -86,7 +100,7 @@ def main() -> None:
 
     t0 = time.time()
     out = batched(keys)
-    jax.block_until_ready(out)
+    np.asarray(out[1])  # real device fence (block_until_ready lies on axon)
     log(f"compile+first batch: {time.time()-t0:.2f}s")
 
     # Quality gate: the benchmark only counts if registration actually works.
@@ -102,13 +116,17 @@ def main() -> None:
 
     # Pre-split all keys: eager jax.random ops inside the timed loop would
     # trigger remote compiles on first use.
-    all_keys = [jax.random.split(jax.random.PRNGKey(100 + i), PAIR_BATCH) for i in range(TIMED_REPS)]
-    jax.block_until_ready(all_keys)
+    all_keys = [
+        jax.device_put(np.asarray(jax.random.split(jax.random.PRNGKey(100 + i), PAIR_BATCH)))
+        for i in range(TIMED_REPS)
+    ]
+    for k in all_keys:
+        np.asarray(k)
     times = []
     for keys in all_keys:
         t0 = time.time()
         out = batched(keys)
-        jax.block_until_ready(out)
+        np.asarray(out[1])  # D2H fence: completion, not just dispatch
         times.append(time.time() - t0)
     per_batch = float(np.median(times))
     pairs_per_sec = PAIR_BATCH / per_batch

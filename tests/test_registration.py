@@ -231,3 +231,29 @@ class TestEndToEnd:
         assert rot_err < 1.0, f"rotation error {rot_err} deg"
         assert rmse < 0.05, f"alignment rmse {rmse}"
         assert float(out.icp.fitness) > 0.9
+
+    def test_partial_overlap_pair(self):
+        """Trimmed partial-overlap pair (BASELINE config 2; headless analog of
+        the reference's trim_ply.py cropped pairs)."""
+        from tpu3dm.registration.pipeline import register_arrays
+
+        src, tgt, T = make_benchmark_pair(12_000, seed=11, overlap=0.6, sigma=0.003)
+        cfg = PipelineConfig.with_voxel_size(0.3)
+        out = register_arrays(src, tgt, cfg)
+        That = np.asarray(out.transformation)
+        rot_err = float(
+            se3.rotation_geodesic_deg(
+                jnp.asarray(That[:3, :3]), jnp.asarray(T[:3, :3].astype(np.float32))
+            )
+        )
+        # Evaluate alignment only where the cropped target actually has
+        # support: source points that land inside the target's bounding box.
+        moved = src @ That[:3, :3].T + That[:3, 3]
+        expect = src @ T[:3, :3].T + T[:3, 3]
+        inside = np.all(
+            (expect >= tgt.min(0) - 1e-6) & (expect <= tgt.max(0) + 1e-6), axis=1
+        )
+        assert inside.sum() > 100
+        rmse = float(np.sqrt(((moved[inside] - expect[inside]) ** 2).sum(1).mean()))
+        assert rot_err < 2.0, f"rotation error {rot_err} deg"
+        assert rmse < 0.08, f"overlap-region rmse {rmse}"

@@ -180,6 +180,87 @@ def run_comprehensive_benchmark(
     return report
 
 
+def run_hypothesis_sweep(
+    source: str | None,
+    target: str | None,
+    *,
+    voxel_size: float = 0.3,
+    hypothesis_counts: tuple[int, ...] = (1024, 4096, 16384, 65536),
+    thresh_mults: tuple[float, ...] = (0.75, 1.5, 3.0),
+    out_json: str = "benchmark_sweep.json",
+) -> dict:
+    """Batched-RANSAC sweep: hypothesis counts x inlier-threshold grid
+    (BASELINE.json config 3: "1k-100k hypotheses per pair, inlier-threshold
+    grid").  Reports wall time, throughput and quality per grid point.
+
+    Counts are per-dispatch batch sizes: the reference's K "iterations" become
+    one K-hypothesis batch here (SURVEY.md §3.2), so each grid point is one
+    compiled program; early stop is disabled to measure the full batch.
+    """
+    cfg = PipelineConfig.with_voxel_size(voxel_size)
+    if source and target:
+        src = load_cloud(source, cfg.preprocess)
+        tgt = load_cloud(target, cfg.preprocess)
+    else:
+        logger.info("no input files; using the synthetic benchmark pair")
+        s_pts, t_pts, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+        src = preprocess_points(s_pts, cfg.preprocess)
+        tgt = preprocess_points(t_pts, cfg.preprocess)
+
+    key = jax.random.PRNGKey(0)
+    pairs, valid = feature_correspondences(
+        src.down, tgt.down, mutual_filter=True, noise_ratio=0.0, key=key
+    )
+    p_all, q_all = gather_pairs(src.down, tgt.down, pairs)
+    jax.block_until_ready(p_all)
+
+    grid = []
+    for k_hyp in hypothesis_counts:
+        for mult in thresh_mults:
+            thresh = mult * voxel_size
+            fn = jax.jit(
+                lambda key, _t=thresh, _k=k_hyp: ransac_from_correspondences(
+                    p_all,
+                    q_all,
+                    valid,
+                    key,
+                    dist_thresh=_t,
+                    max_iterations=_k,
+                    batch_size=min(4096, _k),
+                    confidence=1.0,  # no early stop: measure the full batch
+                )
+            )
+            res = fn(key)  # compile + first run
+            np.asarray(res.transformation)  # real device fence
+            reps = 3
+            t0 = time.perf_counter()
+            for r in range(reps):
+                res = fn(jax.random.fold_in(key, r))
+            np.asarray(res.transformation)
+            dt = (time.perf_counter() - t0) / reps
+            point = {
+                "hypotheses": k_hyp,
+                "dist_thresh": thresh,
+                "time_s": dt,
+                "hypotheses_per_sec": k_hyp / dt,
+                "fitness": float(res.fitness),
+                "inlier_rmse": float(res.inlier_rmse),
+            }
+            grid.append(point)
+            logger.info(
+                "sweep K=%d thresh=%.3f: %.1f ms, %.3g hyp/s, fitness=%.3f",
+                k_hyp, thresh, dt * 1e3, k_hyp / dt, float(res.fitness),
+            )
+
+    report = {
+        "config": {"voxel_size": voxel_size, "backend": jax.default_backend()},
+        "grid": grid,
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info("wrote %s (%d grid points)", out_json, len(grid))
+    return report
+
+
 def add_args(ap: argparse.ArgumentParser) -> None:
     """Reference CLI surface (benchmark_ransac.py:283-322)."""
     ap.add_argument("--source", default=None, help="source PLY (default: synthetic)")
@@ -190,12 +271,33 @@ def add_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--ransac-iterations", type=int, default=4096)
     ap.add_argument("--out-txt", default="benchmark_results.txt")
     ap.add_argument("--out-json", default="benchmark_results.json")
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="run the hypothesis-count x inlier-threshold grid sweep "
+        "(BASELINE config 3) instead of the phase benchmark",
+    )
+    ap.add_argument(
+        "--sweep-counts",
+        type=lambda s: tuple(int(x) for x in s.split(",")),
+        default=(1024, 4096, 16384, 65536),
+        help="comma-separated hypothesis counts for --sweep",
+    )
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     add_args(ap)
     args = ap.parse_args(argv)
+    if args.sweep:
+        run_hypothesis_sweep(
+            args.source,
+            args.target,
+            voxel_size=args.voxel_size,
+            hypothesis_counts=args.sweep_counts,
+            out_json=args.out_json,
+        )
+        return 0
     run_comprehensive_benchmark(
         args.source,
         args.target,

@@ -242,6 +242,9 @@ def _reargs(a) -> list[str]:
     for k in ("voxel_size", "noise_ratio", "test_iterations", "ransac_iterations"):
         out += [f"--{k.replace('_', '-')}", str(getattr(a, k))]
     out += ["--out-txt", a.out_txt, "--out-json", a.out_json]
+    if getattr(a, "sweep", False):
+        out.append("--sweep")
+        out += ["--sweep-counts", ",".join(str(c) for c in a.sweep_counts)]
     return out
 
 

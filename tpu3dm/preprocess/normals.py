@@ -78,25 +78,62 @@ def radius_covariance_stats(
     tsq = jnp.sum(tb * tb, axis=-1)  # [nb, chunk]
     qsq = jnp.sum(safe * safe, axis=-1)  # [N]
 
-    def body(carry, blk):
-        cnt, s, ss = carry
-        t, f, v, t2 = blk
-        cross = safe @ t.T  # [N, chunk] MXU
-        d2 = qsq[:, None] + t2[None, :] - 2.0 * cross
-        m = (d2 <= r2) & v[None, :]
-        mf = m.astype(jnp.float32)
-        cnt = cnt + jnp.sum(mf, axis=1)
-        s = s + mf @ t  # [N,3] MXU
-        ss = ss + mf @ f  # [N,6] MXU
-        return (cnt, s, ss), None
+    def inner(q, q2):
+        """Accumulate neighbour stats for one query block against all target
+        blocks.  q: [QC,3], q2: [QC] squared norms."""
 
-    init = (
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.zeros((n, 6), jnp.float32),
+        def body(carry, blk):
+            cnt, s, ss = carry
+            t, f, v, t2 = blk
+            cross = q @ t.T  # [QC, chunk] MXU
+            d2 = q2[:, None] + t2[None, :] - 2.0 * cross
+            m = (d2 <= r2) & v[None, :]
+            mf = m.astype(jnp.float32)
+            cnt = cnt + jnp.sum(mf, axis=1)
+            s = s + mf @ t  # [QC,3] MXU
+            ss = ss + mf @ f  # [QC,6] MXU
+            return (cnt, s, ss), None
+
+        qc = q.shape[0]
+        init = (
+            jnp.zeros((qc,), jnp.float32),
+            jnp.zeros((qc, 3), jnp.float32),
+            jnp.zeros((qc, 6), jnp.float32),
+        )
+        (cnt, s, ss), _ = jax.lax.scan(body, init, (tb, fb, vb, tsq))
+        return cnt, s, ss
+
+    # Query-axis blocking: a single [N, chunk] distance slab is 4 GB at
+    # N = 1M, so large clouds stream query blocks through the same inner
+    # scan (peak activation [QC, chunk]); small clouds keep the one-slab
+    # fast path.  Shapes are static under jit, so this branch is free.
+    query_chunk = 8192
+    if n <= query_chunk:
+        return inner(safe, qsq)
+    qpad = (-n) % query_chunk
+    q_all = (
+        jnp.concatenate([safe, jnp.full((qpad, 3), PAD_SENTINEL)], axis=0)
+        if qpad
+        else safe
     )
-    (cnt, s, ss), _ = jax.lax.scan(body, init, (tb, fb, vb, tsq))
-    return cnt, s, ss
+    q2_all = (
+        jnp.concatenate([qsq, jnp.zeros((qpad,), jnp.float32)], axis=0)
+        if qpad
+        else qsq
+    )
+    nqb = q_all.shape[0] // query_chunk
+    cnt, s, ss = jax.lax.map(
+        lambda args: inner(*args),
+        (
+            q_all.reshape(nqb, query_chunk, 3),
+            q2_all.reshape(nqb, query_chunk),
+        ),
+    )
+    return (
+        cnt.reshape(-1)[:n],
+        s.reshape(-1, 3)[:n],
+        ss.reshape(-1, 6)[:n],
+    )
 
 
 def _covariance_from_stats(cnt, s, ss):
