@@ -181,6 +181,132 @@ def ransac_from_correspondences(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "batch_size", "use_checkers"),
+)
+def ransac_two_mode(
+    p_all: jax.Array,
+    q_all: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    *,
+    dist_thresh: float | jax.Array,
+    max_iterations: int = 100_000,
+    batch_size: int = 4096,
+    confidence: float | jax.Array = 0.999,
+    edge_length_ratio: float | jax.Array = 0.9,
+    use_checkers: bool = True,
+    mode_angle_deg: float | jax.Array = 15.0,
+) -> tuple[RegistrationResult, RegistrationResult]:
+    """Batched RANSAC tracking the best TWO rotationally-distinct modes.
+
+    Near-symmetric geometry produces alias poses whose inlier count ties or
+    beats the true pose (measured on the synthetic dental arch: alias 0.353
+    fitness vs true 0.353 — argmax election is a coin flip the alias usually
+    wins).  This variant keeps, alongside the global argmax, the best
+    hypothesis whose rotation differs by more than ``mode_angle_deg`` — the
+    caller disambiguates the two modes downstream (e.g. short ICP
+    verification, registration/large.py).  No reference counterpart; the
+    reference's single-mode election fails identically on such inputs.
+
+    Returns (primary, secondary) RegistrationResults.
+    """
+    m = p_all.shape[0]
+    thresh = jnp.asarray(dist_thresh, jnp.float32)
+    thresh_sq = thresh * thresh
+    conf = jnp.asarray(confidence, jnp.float32)
+    cos_thr = jnp.cos(jnp.deg2rad(jnp.asarray(mode_angle_deg, jnp.float32)))
+
+    from tpu3dm.ops.compact import compaction_permutation
+
+    order = compaction_permutation(valid)
+    p_all, q_all, valid = p_all[order], q_all[order], valid[order]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_chunks = max(1, -(-max_iterations // batch_size))
+
+    def required_iters(best_count):
+        w = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+        w3 = jnp.clip(w**3, 1e-12, 1.0 - 1e-7)
+        req = jnp.log1p(-conf) / jnp.log1p(-w3)
+        return jnp.where(
+            w < 0.01, jnp.float32(max_iterations), jnp.minimum(req, max_iterations)
+        )
+
+    def rot_close(Ta, Tb):
+        """cos(angle between rotations) >= cos_thr."""
+        cosang = (jnp.trace(Ta[:3, :3].T @ Tb[:3, :3]) - 1.0) * 0.5
+        return cosang >= cos_thr
+
+    def merge(T1, c1, T2, c2, Tc, cc):
+        """Fold candidate (Tc, cc) into the two mode slots (branchless)."""
+        near1 = rot_close(T1, Tc)
+        # near slot 1: compete only with slot 1
+        n_T1 = jnp.where(cc > c1, Tc, T1)
+        n_c1 = jnp.maximum(cc, c1)
+        # far from slot 1: beats slot1 -> old slot1 demotes to slot2;
+        # else competes with slot2 (only if also far from the *new* slot1)
+        f_T1 = jnp.where(cc > c1, Tc, T1)
+        f_c1 = jnp.maximum(cc, c1)
+        f_T2 = jnp.where(cc > c1, T1, jnp.where(cc > c2, Tc, T2))
+        f_c2 = jnp.where(cc > c1, c1, jnp.maximum(cc, c2))
+        T1n = jnp.where(near1, n_T1, f_T1)
+        c1n = jnp.where(near1, n_c1, f_c1)
+        T2n = jnp.where(near1, T2, f_T2)
+        c2n = jnp.where(near1, c2, f_c2)
+        return T1n, c1n, T2n, c2n
+
+    def cond(state):
+        chunk_i, _, c1, _, _, _ = state
+        return ~((chunk_i >= n_chunks) | ((chunk_i * batch_size) >= required_iters(c1)))
+
+    def body(state):
+        chunk_i, T1, c1, T2, c2, key = state
+        key, k_samp = jax.random.split(key)
+        triples = _sample_distinct_triples(k_samp, batch_size, n_valid)
+        ps, qs = p_all[triples], q_all[triples]
+        T = fit_rigid_horn(ps, qs)
+        R, t = T[:, :3, :3], T[:, :3, 3]
+        counts = _score(R, t, p_all, q_all, valid, thresh_sq)
+        if use_checkers:
+            ok_edge = _edge_length_ok(ps, qs, edge_length_ratio)
+            moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
+            ok_dist = jnp.all(jnp.sum((moved - qs) ** 2, -1) < thresh_sq, axis=1)
+            counts = jnp.where(ok_edge & ok_dist, counts, -1)
+
+        ka = jnp.argmax(counts)
+        Ta, ca = T[ka], counts[ka]
+        # second in-batch mode: best among hypotheses rotation-far from Ta
+        cosang = (jnp.einsum("ij,kij->k", Ta[:3, :3], R) - 1.0) * 0.5
+        counts_far = jnp.where(cosang < cos_thr, counts, -1)
+        kb = jnp.argmax(counts_far)
+        Tb, cb = T[kb], counts_far[kb]
+
+        T1, c1, T2, c2 = merge(T1, c1, T2, c2, Ta, ca)
+        T1, c1, T2, c2 = merge(T1, c1, T2, c2, Tb, cb)
+        return chunk_i + 1, T1, c1, T2, c2, key
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    init = (jnp.int32(0), eye, jnp.int32(-1), eye, jnp.int32(-1), key)
+    chunk_i, T1, c1, T2, c2, _ = jax.lax.while_loop(cond, body, init)
+
+    def result(T, c):
+        c = jnp.maximum(c, 0)
+        fitness = c.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+        moved = p_all @ T[:3, :3].T + T[:3, 3]
+        d2 = jnp.sum((moved - q_all) ** 2, axis=1)
+        inl = (d2 < thresh_sq) & valid
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(jnp.sum(inl), 1))
+        return RegistrationResult(
+            transformation=T,
+            fitness=fitness,
+            inlier_rmse=rmse,
+            iterations=chunk_i * batch_size,
+        )
+
+    return result(T1, c1), result(T2, c2)
+
+
 def global_registration(
     src: PointCloud,
     tgt: PointCloud,
@@ -209,6 +335,41 @@ def global_registration(
         )
     p_all, q_all = gather_pairs(src, tgt, pairs)
     return ransac_from_correspondences(
+        p_all,
+        q_all,
+        pairs_valid,
+        key,
+        dist_thresh=config.dist_thresh,
+        max_iterations=config.max_iterations,
+        batch_size=config.batch_size,
+        confidence=config.confidence,
+        edge_length_ratio=config.edge_length_ratio,
+        use_checkers=config.use_checkers,
+    )
+
+
+def global_registration_two_mode(
+    src: PointCloud,
+    tgt: PointCloud,
+    config: RansacConfig,
+    key: jax.Array,
+) -> tuple[RegistrationResult, RegistrationResult]:
+    """Two-mode variant of global_registration (see ransac_two_mode)."""
+    from tpu3dm.registration.correspondence import (
+        feature_correspondences,
+        gather_pairs,
+    )
+
+    k_corr, key = jax.random.split(key)
+    pairs, pairs_valid = feature_correspondences(
+        src,
+        tgt,
+        mutual_filter=config.mutual_filter,
+        noise_ratio=config.noise_ratio,
+        key=k_corr,
+    )
+    p_all, q_all = gather_pairs(src, tgt, pairs)
+    return ransac_two_mode(
         p_all,
         q_all,
         pairs_valid,
