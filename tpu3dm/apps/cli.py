@@ -47,13 +47,45 @@ def _cmd_register(args) -> int:
             icp=cfg.icp,
         )
     if args.source and args.target:
-        src = load_cloud(args.source, cfg.preprocess)
-        tgt = load_cloud(args.target, cfg.preprocess)
+        from tpu3dm.io.ply import read_ply
+
+        # Reference loader's path contract (ply.py:46-51).
+        for p in (args.source, args.target):
+            if not Path(p).exists():
+                raise FileNotFoundError(f"Ply file not found: {p}")
+            if Path(p).suffix.lower() != ".ply":
+                raise TypeError(f"File is not a ply file: {p}")
+        s = read_ply(args.source)["points"]
+        t = read_ply(args.target)["points"]
     else:
         logger.info("no files given; registering the synthetic benchmark pair")
-        s, t, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
-        src = preprocess_points(s, cfg.preprocess)
-        tgt = preprocess_points(t, cfg.preprocess)
+        s, t, _ = make_benchmark_pair(
+            1_000_000 if args.large else 20_000, seed=0, sigma=0.01
+        )
+
+    if args.large or (args.large is None and max(len(s), len(t)) > 200_000):
+        # Large-cloud path: downsampled two-mode RANSAC + verified restarts,
+        # block-sparse full-resolution ICP (registration/large.py).
+        from tpu3dm.registration.large import register_arrays_large
+
+        fine, coarse = register_arrays_large(
+            np.asarray(s), np.asarray(t), cfg, key=jax.random.PRNGKey(args.seed)
+        )
+        T = np.asarray(fine.transformation)
+        print(json.dumps({
+            "ransac": {"fitness": float(coarse.fitness),
+                       "inlier_rmse": float(coarse.inlier_rmse),
+                       "iterations": int(coarse.iterations)},
+            "icp": {"fitness": float(fine.fitness),
+                    "inlier_rmse": float(fine.inlier_rmse),
+                    "iterations": int(fine.iterations)},
+            "transformation": T.tolist(),
+            "path": "large",
+        }, indent=2))
+        return 0
+
+    src = preprocess_points(np.asarray(s), cfg.preprocess)
+    tgt = preprocess_points(np.asarray(t), cfg.preprocess)
 
     out = register_pair(src, tgt, cfg, key=jax.random.PRNGKey(args.seed))
     T = np.asarray(out.transformation)
@@ -177,6 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-ply", default=None)
     p.add_argument("--out-html", default=None)
+    p.add_argument("--large", action="store_true", default=None,
+                   help="force the large-cloud path (block-sparse NN ICP); "
+                        "auto-selected above 200k points")
     p.set_defaults(fn=_cmd_register)
 
     p = sub.add_parser("bench", help="comprehensive benchmark (benchmark_ransac.py parity)")
