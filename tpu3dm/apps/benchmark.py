@@ -261,6 +261,75 @@ def run_hypothesis_sweep(
     return report
 
 
+def run_large_cloud_benchmark(
+    n_points: int = 1_048_576,
+    *,
+    block: int = 1024,
+    w: int = 8,
+    out_json: str = "benchmark_large.json",
+) -> dict:
+    """Large-cloud benchmark (BASELINE config 4): block-sparse NN latency,
+    ICP per-iteration cost, and full pipeline time at ``n_points``."""
+    from tpu3dm.ops.nn_sparse import nn_blocksparse
+    from tpu3dm.registration.large import (
+        icp_refine_large,
+        prepare_large_cloud,
+        register_arrays_large,
+    )
+
+    src_pts, tgt_pts, T_true = make_benchmark_pair(n_points, seed=0, sigma=0.002)
+    src = prepare_large_cloud(src_pts, block=block)
+    tgt = prepare_large_cloud(tgt_pts, block=block)
+    np.asarray(src.points[:1])  # device fence
+
+    def fence_time(fn, reps=3):
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    nn_s = fence_time(lambda: nn_blocksparse(src.points, tgt.points, block=block, w=w))
+
+    T0g = np.asarray(T_true).copy()
+    T0g[:3, 3] += 0.05
+    icp_s = fence_time(
+        lambda: icp_refine_large(
+            src, tgt, T0g, dist_thresh=0.12, max_iterations=10, w=w,
+            point_to_plane=False,
+        ),
+        reps=2,
+    )
+
+    t0 = time.perf_counter()
+    fine, _ = register_arrays_large(src_pts, tgt_pts)
+    T = np.asarray(fine.transformation)
+    full_s = time.perf_counter() - t0
+    moved = src_pts @ T[:3, :3].T + T[:3, 3]
+    expect = src_pts @ np.asarray(T_true)[:3, :3].T + np.asarray(T_true)[:3, 3]
+    rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+
+    report = {
+        "config": {"n_points": n_points, "block": block, "w": w,
+                   "backend": jax.default_backend()},
+        "nn_search_s": nn_s,
+        "icp_10iter_s": icp_s,
+        "icp_ms_per_iter": icp_s * 100.0,
+        "full_register_s": full_s,
+        "quality": {"fitness": float(fine.fitness), "align_rmse": rmse},
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info(
+        "large-cloud %d pts: NN %.0f ms, ICP %.0f ms/iter, full %.1f s, rmse %.5f",
+        n_points, nn_s * 1e3, icp_s * 100.0, full_s, rmse,
+    )
+    return report
+
+
 def add_args(ap: argparse.ArgumentParser) -> None:
     """Reference CLI surface (benchmark_ransac.py:283-322)."""
     ap.add_argument("--source", default=None, help="source PLY (default: synthetic)")
@@ -283,12 +352,23 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         default=(1024, 4096, 16384, 65536),
         help="comma-separated hypothesis counts for --sweep",
     )
+    ap.add_argument(
+        "--large",
+        type=int,
+        default=None,
+        metavar="N",
+        help="run the large-cloud benchmark at N points (BASELINE config 4) "
+        "instead of the phase benchmark",
+    )
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     add_args(ap)
     args = ap.parse_args(argv)
+    if args.large:
+        run_large_cloud_benchmark(args.large, out_json=args.out_json)
+        return 0
     if args.sweep:
         run_hypothesis_sweep(
             args.source,

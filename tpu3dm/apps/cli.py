@@ -280,6 +280,8 @@ def _reargs(a) -> list[str]:
     if getattr(a, "sweep", False):
         out.append("--sweep")
         out += ["--sweep-counts", ",".join(str(c) for c in a.sweep_counts)]
+    if getattr(a, "large", None):
+        out += ["--large", str(a.large)]
     return out
 
 
