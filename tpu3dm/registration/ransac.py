@@ -34,16 +34,26 @@ from tpu3dm.registration.result import RegistrationResult
 def _sample_distinct_triples(key: jax.Array, k: int, n: jax.Array) -> jax.Array:
     """[k, 3] distinct indices uniform over [0, n) (n traced, n >= 3).
 
-    Constant-time distinct sampling (no rejection): draw from shrinking ranges
-    and shift past already-chosen values — the batched analog of
+    Constant-time distinct sampling (no rejection): ONE uniform draw over
+    [0, n*(n-1)*(n-2)) decomposed arithmetically into shrinking-range draws,
+    then shifted past already-chosen values — the batched analog of
     ``np.random.choice(n, 3, replace=False)`` (reference: ransac.py:143).
+
+    One bits call, not three randints: threefry key-splitting + randint
+    dominated the whole RANSAC step on TPU (measured 1.96 ms/pair for
+    sampling alone vs 1.13 ms/pair for the complete sample+fit+check+score
+    program).  Pure 32-bit arithmetic (x64 stays disabled): draw 1 is reduced
+    mod n (bias ~n/2^32), draw 2 is decomposed over (n-1)(n-2) (bias
+    ~n^2/2^32) — negligible for the O(1k)-correspondence sets produced by
+    voxel downsampling.
     """
-    n = jnp.maximum(n, 3)
-    ka, kb, kc = jax.random.split(key, 3)
-    a = jax.random.randint(ka, (k,), 0, n)
-    b = jax.random.randint(kb, (k,), 0, n - 1)
+    n = jnp.maximum(n, 3).astype(jnp.uint32)
+    bits = jax.random.bits(key, (k, 2), jnp.uint32)
+    a = (bits[:, 0] % n).astype(jnp.int32)
+    r = bits[:, 1] % ((n - 1) * (n - 2))
+    b = (r % (n - 1)).astype(jnp.int32)
+    c = (r // (n - 1)).astype(jnp.int32)
     b = b + (b >= a)
-    c = jax.random.randint(kc, (k,), 0, n - 2)
     lo = jnp.minimum(a, b)
     hi = jnp.maximum(a, b)
     c = c + (c >= lo)
