@@ -21,6 +21,7 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 
 import jax
@@ -50,6 +51,32 @@ class ProcessedCloud:
     path: Path | None = None
 
 
+@jax.jit
+def _features_device(
+    down: PointCloud,
+    full: PointCloud,
+    normal_radius: jax.Array,
+    fpfh_radius: jax.Array,
+) -> tuple[PointCloud, PointCloud]:
+    """Down-cloud normals + FPFH and full-cloud normals in ONE dispatch.
+
+    Each separate jitted call is a full remote round trip on the axon stack
+    (~1.5 s/call measured warm); fusing the three feature stages into one
+    compiled program pays one round trip per cloud instead of three.
+    """
+    down = estimate_normals(down, normal_radius)
+    down = compute_fpfh(down, fpfh_radius)
+    full = estimate_normals(full, normal_radius)
+    return down, full
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _noise_device(down: PointCloud, key: jax.Array, sigma: jax.Array) -> PointCloud:
+    noise = sigma * jax.random.normal(key, down.points.shape)
+    noisy = jnp.where(down.mask[:, None], down.points + noise, 0.0)
+    return down.with_(points=noisy)
+
+
 def preprocess_points(
     points: np.ndarray,
     config: PreprocessConfig = PreprocessConfig(),
@@ -60,28 +87,21 @@ def preprocess_points(
     """Run the full preprocessing chain on raw host points."""
     from tpu3dm.utils.profiler import profile_block
 
-    with profile_block("preprocess/from_numpy"):
+    with profile_block("preprocess/ingest"):
         full = from_numpy(points)
-        jax.block_until_ready(full.points)
-    with profile_block("preprocess/voxel_downsample"):
         down = voxel_downsample_host(points, config.voxel_size)
-    with profile_block("preprocess/normals_down"):
-        down = estimate_normals(down, config.normal_radius)
-        jax.block_until_ready(down.normals)
-    with profile_block("preprocess/fpfh"):
-        down = compute_fpfh(down, config.fpfh_radius)
-        jax.block_until_ready(down.features)
+    with profile_block("preprocess/features_device"):
+        down, full = _features_device(
+            down,
+            full,
+            jnp.float32(config.normal_radius),
+            jnp.float32(config.fpfh_radius),
+        )
 
     if config.noise_sigma > 0.0:
         if key is None:
             key = jax.random.PRNGKey(0)
-        noise = config.noise_sigma * jax.random.normal(key, down.points.shape)
-        noisy = jnp.where(down.mask[:, None], down.points + noise, 0.0)
-        down = down.with_(points=noisy)
-
-    with profile_block("preprocess/normals_full"):
-        full = estimate_normals(full, config.normal_radius)
-        jax.block_until_ready(full.normals)
+        down = _noise_device(down, key, jnp.float32(config.noise_sigma))
     # Host-side count (np, not the traced .count property): an eager jnp op
     # here costs a full remote compile (~30 s) on the axon backend.
     n_down = int(np.asarray(down.mask).sum())
