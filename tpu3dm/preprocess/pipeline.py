@@ -33,7 +33,7 @@ from tpu3dm.core.config import PreprocessConfig
 from tpu3dm.io.ply import read_ply
 from tpu3dm.preprocess.fpfh import compute_fpfh
 from tpu3dm.preprocess.normals import estimate_normals
-from tpu3dm.preprocess.voxel import compact, voxel_downsample, voxel_downsample_host
+from tpu3dm.preprocess.voxel import voxel_downsample_host
 from tpu3dm.utils.logging import setup_logging
 
 logger = setup_logging(__name__)

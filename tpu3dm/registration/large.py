@@ -256,8 +256,6 @@ def register_arrays_large(
     from tpu3dm.preprocess.fpfh import compute_fpfh
     from tpu3dm.preprocess.normals import estimate_normals
     from tpu3dm.preprocess.voxel import voxel_downsample_host
-    from tpu3dm.registration.ransac import global_registration
-
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
     if key is None:
