@@ -129,3 +129,26 @@ def test_fpfh_distinguishes_geometry():
         np.linalg.norm(mean_plane) * np.linalg.norm(mean_sph)
     )
     assert cos < 0.98
+
+
+def test_batch_preprocess_matches_single():
+    """preprocess_points_batch is bit-exact with per-cloud preprocessing."""
+    import numpy as np
+    from tpu3dm.core.config import PreprocessConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.preprocess.pipeline import preprocess_points, preprocess_points_batch
+
+    cfg = PreprocessConfig()
+    clouds = [dental_arch_cloud(6000, seed=s) for s in (0, 4)]
+    batch = preprocess_points_batch(clouds, cfg)
+    for raw, b in zip(clouds, batch):
+        single = preprocess_points(raw, cfg)
+        nb = np.asarray(b.down.mask).sum()
+        assert nb == np.asarray(single.down.mask).sum()
+        fb = np.asarray(b.down.features)[np.asarray(b.down.mask)]
+        fs = np.asarray(single.down.features)[np.asarray(single.down.mask)]
+        if fb.shape == fs.shape:  # same capacity bucket -> identical compute
+            np.testing.assert_allclose(fb, fs, atol=1e-4)
+        nrm_b = np.asarray(b.full.normals)[: raw.shape[0]]
+        nrm_s = np.asarray(single.full.normals)[: raw.shape[0]]
+        np.testing.assert_allclose(np.abs((nrm_b * nrm_s).sum(1)), 1.0, atol=1e-3)

@@ -175,11 +175,14 @@ def _cmd_multiway(args) -> int:
     import jax
 
     from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.ply import read_ply
     from tpu3dm.multiway.posegraph import register_multiway
-    from tpu3dm.preprocess.pipeline import load_cloud
+    from tpu3dm.preprocess.pipeline import preprocess_points_batch
 
     cfg = PipelineConfig.with_voxel_size(args.voxel_size)
-    clouds = [load_cloud(p, cfg.preprocess) for p in args.files]
+    # Batched ingest: all clouds' feature stages in one device dispatch.
+    raw = [read_ply(p)["points"] for p in args.files]
+    clouds = preprocess_points_batch(raw, cfg.preprocess)
     out = register_multiway(
         clouds,
         cfg,

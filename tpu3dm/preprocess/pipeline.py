@@ -114,6 +114,61 @@ def preprocess_points(
     return ProcessedCloud(full=full, down=down, voxel_size=config.voxel_size, path=path)
 
 
+def preprocess_points_batch(
+    clouds: list[np.ndarray],
+    config: PreprocessConfig = PreprocessConfig(),
+    *,
+    key: jax.Array | None = None,
+) -> list[ProcessedCloud]:
+    """Preprocess MANY clouds in one vmapped device dispatch.
+
+    Production ingest path for multi-pair workloads: host-side voxel
+    downsampling (native C++ tier) per cloud, then all feature stages for
+    every cloud in a single compiled program.  Clouds are padded to shared
+    capacities (max over the batch, rounded to 256) so one compile covers
+    similarly-sized batches.
+    """
+    from tpu3dm.core.cloud import round_up
+
+    if not clouds:
+        return []
+    downs = [voxel_downsample_host(p, config.voxel_size) for p in clouds]
+    cap_d = max(round_up(int(np.asarray(d.mask).sum()), 256) for d in downs)
+    cap_f = max(round_up(p.shape[0], 256) for p in clouds)
+
+    downs_pc = [
+        from_numpy(np.asarray(d.points)[np.asarray(d.mask)], capacity=cap_d)
+        for d in downs
+    ]
+    fulls_pc = [from_numpy(p, capacity=cap_f) for p in clouds]
+    down_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *downs_pc)
+    full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
+
+    batch_features = jax.jit(jax.vmap(_features_device, in_axes=(0, 0, None, None)))
+    down_b, full_b = batch_features(
+        down_in,
+        full_in,
+        jnp.float32(config.normal_radius),
+        jnp.float32(config.fpfh_radius),
+    )
+
+    out = []
+    for i, raw in enumerate(clouds):
+        down_i = jax.tree_util.tree_map(lambda a: a[i], down_b)
+        full_i = jax.tree_util.tree_map(lambda a: a[i], full_b)
+        if config.noise_sigma > 0.0:
+            k = jax.random.fold_in(
+                key if key is not None else jax.random.PRNGKey(0), i
+            )
+            down_i = _noise_device(down_i, k, jnp.float32(config.noise_sigma))
+        out.append(
+            ProcessedCloud(
+                full=full_i, down=down_i, voxel_size=config.voxel_size
+            )
+        )
+    return out
+
+
 def load_cloud(
     path: str | Path,
     config: PreprocessConfig = PreprocessConfig(),
