@@ -138,3 +138,70 @@ def test_benchmark_pair_ground_truth():
     src, tgt, T = make_benchmark_pair(2000, seed=3)
     moved = src @ T[:3, :3].T + T[:3, 3]
     np.testing.assert_allclose(moved, tgt, atol=1e-9)
+
+
+def test_ply_truncated_binary(tmp_path):
+    """Binary payload shorter than the header promises must raise."""
+    from tpu3dm.io.ply import PlyError, read_ply, write_ply
+
+    p = tmp_path / "t.ply"
+    pts = np.random.default_rng(0).uniform(-1, 1, (100, 3))
+    write_ply(p, pts, binary=True)
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) - 37])
+    with pytest.raises(PlyError):
+        read_ply(p)
+
+
+def test_ply_big_endian(tmp_path):
+    """binary_big_endian files parse correctly."""
+    from tpu3dm.io.ply import read_ply
+
+    pts = np.array([[1.5, -2.0, 3.25], [0.0, 4.0, -1.0]])
+    header = (
+        "ply\nformat binary_big_endian 1.0\nelement vertex 2\n"
+        "property double x\nproperty double y\nproperty double z\nend_header\n"
+    )
+    p = tmp_path / "be.ply"
+    p.write_bytes(header.encode() + pts.astype(">f8").tobytes())
+    back = read_ply(p)["points"]
+    np.testing.assert_allclose(back, pts)
+
+
+def test_ply_garbage_bytes(tmp_path):
+    """Random bytes with a .ply extension must raise, not crash."""
+    from tpu3dm.io.ply import PlyError, read_ply
+
+    p = tmp_path / "junk.ply"
+    p.write_bytes(bytes(range(256)) * 16)
+    with pytest.raises((PlyError, ValueError)):
+        read_ply(p)
+
+
+def test_stl_binary_starting_with_solid(tmp_path):
+    """Some binary STL exporters start with 'solid' — size equation must win."""
+    from tpu3dm.io.stl import read_stl
+
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    rec = np.zeros(1, dtype=[("normal", "<f4", 3), ("verts", "<f4", (3, 3)), ("attr", "<u2")])
+    rec["verts"] = tri
+    header = b"solid binary-exporter" + b" " * 59
+    p = tmp_path / "s.stl"
+    p.write_bytes(header + np.uint32(1).tobytes() + rec.tobytes())
+    out = read_stl(p)
+    assert out["triangles"].shape == (1, 3)
+    assert out["vertices"].shape[0] == 3
+
+
+def test_ascii_ply_scientific_notation(tmp_path):
+    """Native parser must handle exponents and mixed whitespace."""
+    from tpu3dm.io.ply import read_ply
+
+    header = (
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\nend_header\n"
+    )
+    p = tmp_path / "sci.ply"
+    p.write_text(header + "1e-3\t-2.5E2 4\n0.125 3e4\t-1\n")
+    back = read_ply(p)["points"]
+    np.testing.assert_allclose(back, [[1e-3, -250.0, 4.0], [0.125, 3e4, -1.0]])
