@@ -1,0 +1,216 @@
+"""Planar RANSAC hypothesis chunk (registration/hypotheses.py).
+
+Covers: triangle-frame fit exactness on congruent triples, parity with the
+SVD oracle, degenerate-sample semantics (counts == -1, never elected — the
+branchless analog of the reference's try/except identity fallback,
+src/matcher/ransac.py:184-192), and the monotone inlier re-fit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dm.registration.hypotheses import (
+    count_inliers,
+    fit3_frames,
+    prepare_correspondences,
+    refit_inliers,
+    rot_cos_planar,
+    sample_fit_score,
+    winner_T,
+)
+from tpu3dm.registration.kabsch import fit_rigid_svd
+
+
+def _random_rigid(rng):
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = rng.normal(size=3) * 0.5
+    return Q.astype(np.float32), t.astype(np.float32)
+
+
+def _planar_to_T(R, t, k=0):
+    return np.asarray(winner_T(R, t, jnp.int32(k)))
+
+
+class TestFit3Frames:
+    def test_exact_on_congruent_triples(self):
+        rng = np.random.default_rng(0)
+        K = 64
+        R_true, t_true = _random_rigid(rng)
+        p = rng.normal(size=(K, 3, 3)).astype(np.float32)
+        q = p @ R_true.T + t_true
+        R, t, ok = fit3_frames(*(jnp.asarray(p[:, i]) for i in range(3)),
+                               *(jnp.asarray(q[:, i]) for i in range(3)))
+        assert bool(jnp.all(ok))
+        for k in range(0, K, 17):
+            T = _planar_to_T(R, t, k)
+            np.testing.assert_allclose(T[:3, :3], R_true, atol=2e-5)
+            np.testing.assert_allclose(T[:3, 3], t_true, atol=2e-5)
+
+    def test_matches_svd_oracle_on_exact_data(self):
+        rng = np.random.default_rng(1)
+        for seed in range(5):
+            R_true, t_true = _random_rigid(np.random.default_rng(seed))
+            p = rng.normal(size=(1, 3, 3)).astype(np.float32)
+            q = p @ R_true.T + t_true
+            R, t, _ = fit3_frames(*(jnp.asarray(p[:, i]) for i in range(3)),
+                                  *(jnp.asarray(q[:, i]) for i in range(3)))
+            T_frames = _planar_to_T(R, t)
+            T_svd = np.asarray(fit_rigid_svd(jnp.asarray(p[0]), jnp.asarray(q[0])))
+            np.testing.assert_allclose(T_frames, T_svd, atol=1e-4)
+
+    def test_no_reflection(self):
+        # Frames are right-handed by construction: det(R) == +1 always,
+        # replacing the reference's det<0 fix (ransac.py:173-176).
+        rng = np.random.default_rng(2)
+        p = rng.normal(size=(128, 3, 3)).astype(np.float32)
+        q = rng.normal(size=(128, 3, 3)).astype(np.float32)  # unrelated
+        R, t, ok = fit3_frames(*(jnp.asarray(p[:, i]) for i in range(3)),
+                               *(jnp.asarray(q[:, i]) for i in range(3)))
+        assert bool(jnp.all(ok))
+        for k in range(0, 128, 31):
+            T = _planar_to_T(R, t, k)
+            assert np.linalg.det(T[:3, :3]) > 0.99
+
+    def test_rot_cos_planar(self):
+        rng = np.random.default_rng(3)
+        R_true, t_true = _random_rigid(rng)
+        p = rng.normal(size=(8, 3, 3)).astype(np.float32)
+        q = p @ R_true.T + t_true
+        R, t, ok = fit3_frames(*(jnp.asarray(p[:, i]) for i in range(3)),
+                               *(jnp.asarray(q[:, i]) for i in range(3)))
+        assert bool(jnp.all(ok))
+        T0 = jnp.asarray(_planar_to_T(R, t, 0))
+        cos = np.asarray(rot_cos_planar(T0, R))
+        np.testing.assert_allclose(cos, 1.0, atol=1e-4)
+
+
+class TestSampleFitScore:
+    def _setup(self, n=256, outlier_frac=0.5, seed=0):
+        rng = np.random.default_rng(seed)
+        R_true, t_true = _random_rigid(rng)
+        p = rng.normal(size=(n, 3)).astype(np.float32)
+        q = p @ R_true.T + t_true
+        out = rng.random(n) < outlier_frac
+        q[out] = rng.normal(size=(int(out.sum()), 3)).astype(np.float32) * 2
+        return p, q, R_true, t_true, ~out
+
+    def test_inlier_hypotheses_win(self):
+        p, q, R_true, t_true, inl = self._setup()
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        valid = jnp.ones(p.shape[0], bool)
+        pq, F, c = prepare_correspondences(pj, qj)
+        # All-inlier triples and all-outlier triples, hand-built.
+        inl_idx = np.flatnonzero(inl)[:3]
+        out_idx = np.flatnonzero(~inl)[:3]
+        triples = jnp.asarray(np.stack([inl_idx, out_idx]).astype(np.int32))
+        R, t, counts = sample_fit_score(pq, F, c, valid, triples, jnp.float32(0.01))
+        counts = np.asarray(counts)
+        assert counts[0] >= inl.sum() * 0.95
+        assert counts[1] < counts[0]
+        T = _planar_to_T(R, t, 0)
+        np.testing.assert_allclose(T[:3, :3], R_true, atol=1e-3)
+
+    def test_degenerate_triples_score_minus_one(self):
+        p, q, *_ = self._setup()
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        valid = jnp.ones(p.shape[0], bool)
+        pq, F, c = prepare_correspondences(pj, qj)
+        # duplicate sample indices -> degenerate triangle
+        triples = jnp.asarray([[0, 0, 0], [1, 1, 2], [3, 4, 5]], jnp.int32)
+        _, _, counts = sample_fit_score(pq, F, c, valid, triples, jnp.float32(0.01))
+        counts = np.asarray(counts)
+        assert counts[0] == -1
+        assert counts[1] == -1
+
+    def test_collinear_points_never_elected(self):
+        # All correspondences on a line: every triple is degenerate; election
+        # over counts==-1 must not beat an initial best of -1.
+        n = 64
+        line = np.linspace(0, 1, n).astype(np.float32)
+        p = np.stack([line, line * 2, line * 3], axis=1)
+        q = p + 0.5
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        pq, F, c = prepare_correspondences(pj, qj)
+        triples = jnp.asarray(
+            np.random.default_rng(0).integers(0, n, size=(32, 3)), jnp.int32
+        )
+        _, _, counts = sample_fit_score(
+            pq, F, c, jnp.ones(n, bool), triples, jnp.float32(0.01)
+        )
+        assert np.asarray(counts).max() <= 0  # nothing valid wins
+
+    def test_checkers_off_allows_everything_finite(self):
+        p, q, *_ = self._setup()
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        pq, F, c = prepare_correspondences(pj, qj)
+        triples = jnp.asarray([[0, 1, 2]], jnp.int32)
+        _, _, counts = sample_fit_score(
+            pq, F, c, jnp.ones(p.shape[0], bool), triples, jnp.float32(0.01),
+            use_checkers=False,
+        )
+        assert np.asarray(counts)[0] >= 0
+
+
+class TestRefitInliers:
+    def test_refit_never_loses_inliers(self):
+        rng = np.random.default_rng(4)
+        R_true, t_true = _random_rigid(rng)
+        n = 512
+        p = rng.normal(size=(n, 3)).astype(np.float32)
+        noise = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+        q = p @ R_true.T + t_true + noise
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        valid = jnp.ones(n, bool)
+        thresh_sq = jnp.float32(0.05**2)
+        # A noisy 3-point hypothesis (frame fit on noisy points).
+        R, t, _ = fit3_frames(pj[None, 0], pj[None, 1], pj[None, 2],
+                              qj[None, 0], qj[None, 1], qj[None, 2])
+        T0 = jnp.asarray(_planar_to_T(R, t, 0))
+        _, c0 = count_inliers(T0, pj, qj, valid, thresh_sq)
+        T1, c1 = refit_inliers(T0, c0, pj, qj, valid, thresh_sq)
+        assert int(c1) >= int(c0)
+        # Refit T should be closer to truth than the raw 3-point fit.
+        def rot_err(T):
+            M = np.asarray(T)[:3, :3] @ R_true.T
+            return np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+        assert rot_err(T1) <= rot_err(T0) + 1e-3
+
+    def test_refit_keeps_original_when_degenerate(self):
+        # count < 3: refit must not replace the transform with garbage.
+        p = jnp.asarray(np.random.default_rng(5).normal(size=(8, 3)), jnp.float32)
+        q = p + 100.0  # nothing within threshold
+        T0 = jnp.eye(4)
+        T1, c1 = refit_inliers(T0, jnp.int32(0), p, q, jnp.ones(8, bool),
+                               jnp.float32(1e-4))
+        assert int(c1) == 0
+        np.testing.assert_allclose(np.asarray(T1), np.eye(4), atol=1e-6)
+
+
+class TestEndToEndParity:
+    def test_pair_step_recovers_transform_with_outliers(self):
+        from tpu3dm.parallel.multipair import ransac_pair_step
+
+        rng = np.random.default_rng(6)
+        R_true, t_true = _random_rigid(rng)
+        n = 384
+        p = rng.normal(size=(n, 3)).astype(np.float32)
+        q = p @ R_true.T + t_true + rng.normal(size=(n, 3)).astype(np.float32) * 0.005
+        out = rng.random(n) < 0.6
+        q[out] = rng.normal(size=(int(out.sum()), 3)).astype(np.float32) * 2
+        T, count = ransac_pair_step(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(n, bool),
+            jax.random.PRNGKey(0), dist_thresh=0.05, iterations=2048,
+            batch_size=1024,
+        )
+        T = np.asarray(T)
+        M = T[:3, :3] @ R_true.T
+        rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+        assert rot_err < 1.0
+        assert np.abs(T[:3, 3] - t_true).max() < 0.05
+        assert int(count) >= (~out).sum() * 0.9

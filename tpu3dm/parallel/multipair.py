@@ -21,14 +21,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu3dm.ops.compact import compaction_permutation
-from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.parallel.mesh import PAIR_AXIS
-from tpu3dm.registration.kabsch import fit_rigid_horn
-from tpu3dm.registration.ransac import _edge_length_ok, _sample_distinct_triples
-
-
-def _score(R, t, p, q, mask, thresh_sq):
-    return score_hypotheses(R, t, p, q, mask, thresh_sq)
+from tpu3dm.registration.hypotheses import (
+    prepare_correspondences,
+    refit_inliers,
+    sample_fit_score,
+    winner_T,
+)
+from tpu3dm.registration.ransac import _sample_distinct_triples
 
 
 def ransac_pair_step(
@@ -41,8 +41,12 @@ def ransac_pair_step(
     iterations: int,
     batch_size: int,
     edge_length_ratio: float = 0.9,
+    refit: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
+
+    Planar hypothesis chunks (registration/hypotheses.py) under lax.scan;
+    optional exact Horn re-fit of the winner on its inlier set.
 
     Returns (best_T [4,4], best_count scalar int32).
     """
@@ -53,23 +57,19 @@ def ransac_pair_step(
     valid = valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     n_chunks = max(1, iterations // batch_size)
+    pq, F, c = prepare_correspondences(p_all, q_all)
 
     def chunk(carry, k_chunk):
         best_T, best_count = carry
         triples = _sample_distinct_triples(k_chunk, batch_size, jnp.maximum(n_valid, 3))
-        ps = p_all[triples]
-        qs = q_all[triples]
-        T = fit_rigid_horn(ps, qs)
-        R, t = T[:, :3, :3], T[:, :3, 3]
-        counts = _score(R, t, p_all, q_all, valid, thresh_sq)
-        ok_e = _edge_length_ok(ps, qs, edge_length_ratio)
-        moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
-        ok_d = jnp.all(jnp.sum((moved - qs) ** 2, axis=-1) < thresh_sq, axis=1)
-        counts = jnp.where(ok_e & ok_d, counts, -1)
+        R, t, counts = sample_fit_score(
+            pq, F, c, valid, triples, thresh_sq,
+            edge_length_ratio=edge_length_ratio,
+        )
         k = jnp.argmax(counts)
         better = counts[k] > best_count
         return (
-            jnp.where(better, T[k], best_T),
+            jnp.where(better, winner_T(R, t, k), best_T),
             jnp.where(better, counts[k], best_count),
         ), None
 
@@ -77,7 +77,12 @@ def ransac_pair_step(
     (best_T, best_count), _ = jax.lax.scan(
         chunk, (jnp.eye(4, dtype=jnp.float32), jnp.int32(-1)), keys
     )
-    return best_T, jnp.maximum(best_count, 0)
+    best_count = jnp.maximum(best_count, 0)
+    if refit:
+        best_T, best_count = refit_inliers(
+            best_T, best_count, p_all, q_all, valid, thresh_sq
+        )
+    return best_T, best_count
 
 
 @functools.partial(

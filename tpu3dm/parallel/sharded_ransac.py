@@ -16,15 +16,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tpu3dm.ops.compact import compaction_permutation
-from tpu3dm.ops.ransac_score import score_hypotheses
 from tpu3dm.parallel.mesh import BLOCK_AXIS
-from tpu3dm.registration.kabsch import fit_rigid_horn
-from tpu3dm.registration.ransac import _edge_length_ok, _sample_distinct_triples
+from tpu3dm.registration.hypotheses import (
+    prepare_correspondences,
+    sample_fit_score,
+    winner_T,
+)
+from tpu3dm.registration.ransac import _sample_distinct_triples
 from tpu3dm.registration.result import RegistrationResult
-
-
-def _score(R, t, p, q, mask, thresh_sq):
-    return score_hypotheses(R, t, p, q, mask, thresh_sq)
 
 
 def sharded_ransac(
@@ -61,20 +60,15 @@ def sharded_ransac(
         me = jax.lax.axis_index(BLOCK_AXIS)
         k_dev = jax.random.fold_in(key[0], me)
         triples = _sample_distinct_triples(k_dev, k_local, jnp.maximum(n_valid, 3))
-        ps = p[triples]
-        qs = q[triples]
-        T = fit_rigid_horn(ps, qs)
-        R, t = T[:, :3, :3], T[:, :3, 3]
-        counts = _score(R, t, p, q, v, thresh_sq)
-        if use_checkers:
-            ok_e = _edge_length_ok(ps, qs, edge_length_ratio)
-            moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
-            ok_d = jnp.all(jnp.sum((moved - qs) ** 2, axis=-1) < thresh_sq, axis=1)
-            counts = jnp.where(ok_e & ok_d, counts, -1)
+        pq, F, c = prepare_correspondences(p, q)
+        R, t, counts = sample_fit_score(
+            pq, F, c, v, triples, thresh_sq,
+            edge_length_ratio=edge_length_ratio,
+            use_checkers=use_checkers,
+        )
         local_best = jnp.argmax(counts)
         local_count = counts[local_best]
-        local_T = T[local_best]
-        #
+        local_T = winner_T(R, t, local_best)
 
         # Election: gather per-device champions, argmax over the ring.
         all_counts = jax.lax.all_gather(local_count, BLOCK_AXIS)  # [B]

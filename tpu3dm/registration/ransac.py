@@ -10,11 +10,12 @@ TPU-native re-expression of both reference RANSAC paths:
 
 Where the reference fits and scores ONE hypothesis per Python iteration
 (0.76 ms each, benchmark_results.txt:8), here a `lax.while_loop` steps over
-*chunks* of `batch_size` hypotheses; each chunk is sampled, fitted (Horn
-quaternion, registration/kabsch.py), checker-masked, and scored (rank-15
-bilinear MXU kernel, ops/ransac_score.py) in one device dispatch, with an
-on-device argmax electing the chunk best.  Early stop happens between chunks
-with zero host round-trips.
+*chunks* of `batch_size` hypotheses; each chunk is sampled, fitted, checker-
+masked, and scored planar (structure-of-arrays triangle-frame fit + rank-15
+bilinear MXU score, registration/hypotheses.py) in one device dispatch, with
+an on-device argmax electing the chunk best and an exact weighted-Horn re-fit
+of the winner on its inlier set.  Early stop happens between chunks with zero
+host round-trips.
 """
 
 from __future__ import annotations
@@ -26,8 +27,13 @@ import jax.numpy as jnp
 
 from tpu3dm.core.cloud import PointCloud
 from tpu3dm.core.config import RansacConfig
-from tpu3dm.ops.ransac_score import score_hypotheses
-from tpu3dm.registration.kabsch import fit_rigid_horn
+from tpu3dm.registration.hypotheses import (
+    prepare_correspondences,
+    refit_inliers,
+    rot_cos_planar,
+    sample_fit_score,
+    winner_T,
+)
 from tpu3dm.registration.result import RegistrationResult
 
 
@@ -76,12 +82,8 @@ def _edge_length_ok(ps: jax.Array, qs: jax.Array, ratio: float) -> jax.Array:
     return jnp.all(ok, axis=1)
 
 
-def _score(R, t, p, q, mask, thresh_sq):
-    return score_hypotheses(R, t, p, q, mask, thresh_sq)
-
-
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "batch_size", "use_checkers")
+    jax.jit, static_argnames=("max_iterations", "batch_size", "use_checkers", "refit")
 )
 def ransac_from_correspondences(
     p_all: jax.Array,
@@ -95,6 +97,7 @@ def ransac_from_correspondences(
     confidence: float | jax.Array = 0.999,
     edge_length_ratio: float | jax.Array = 0.9,
     use_checkers: bool = True,
+    refit: bool = True,
 ) -> RegistrationResult:
     """Run batched RANSAC over a fixed correspondence set.
 
@@ -123,6 +126,7 @@ def ransac_from_correspondences(
     q_all = q_all[order]
     valid = valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    pq, F, c = prepare_correspondences(p_all, q_all)
 
     n_chunks = max(1, -(-max_iterations // batch_size))
 
@@ -146,26 +150,15 @@ def ransac_from_correspondences(
         chunk_i, best_T, best_count, key = state
         key, k_samp = jax.random.split(key)
         triples = _sample_distinct_triples(k_samp, batch_size, n_valid)
-        ps = p_all[triples]  # [K, 3, 3]
-        qs = q_all[triples]
-        T = fit_rigid_horn(ps, qs)  # [K, 4, 4]
-        R = T[:, :3, :3]
-        t = T[:, :3, 3]
-
-        counts = _score(R, t, p_all, q_all, valid, thresh_sq)
-
-        if use_checkers:
-            ok_edge = _edge_length_ok(ps, qs, edge_length_ratio)
-            moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
-            ok_dist = jnp.all(
-                jnp.sum((moved - qs) ** 2, axis=-1) < thresh_sq, axis=1
-            )
-            counts = jnp.where(ok_edge & ok_dist, counts, -1)
-
+        R, t, counts = sample_fit_score(
+            pq, F, c, valid, triples, thresh_sq,
+            edge_length_ratio=edge_length_ratio,
+            use_checkers=use_checkers,
+        )
         best_k = jnp.argmax(counts)
         chunk_best = counts[best_k]
         improved = chunk_best > best_count
-        best_T = jnp.where(improved, T[best_k], best_T)
+        best_T = jnp.where(improved, winner_T(R, t, best_k), best_T)
         best_count = jnp.where(improved, chunk_best, best_count)
         return chunk_i + 1, best_T, best_count, key
 
@@ -173,6 +166,10 @@ def ransac_from_correspondences(
     chunk_i, best_T, best_count, _ = jax.lax.while_loop(cond, body, init)
 
     best_count = jnp.maximum(best_count, 0)
+    if refit:
+        best_T, best_count = refit_inliers(
+            best_T, best_count, p_all, q_all, valid, thresh_sq
+        )
     fitness = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(
         jnp.float32
     )
@@ -233,6 +230,7 @@ def ransac_two_mode(
     order = compaction_permutation(valid)
     p_all, q_all, valid = p_all[order], q_all[order], valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    pq, F, c = prepare_correspondences(p_all, q_all)
     n_chunks = max(1, -(-max_iterations // batch_size))
 
     def required_iters(best_count):
@@ -274,23 +272,18 @@ def ransac_two_mode(
         chunk_i, T1, c1, T2, c2, key = state
         key, k_samp = jax.random.split(key)
         triples = _sample_distinct_triples(k_samp, batch_size, n_valid)
-        ps, qs = p_all[triples], q_all[triples]
-        T = fit_rigid_horn(ps, qs)
-        R, t = T[:, :3, :3], T[:, :3, 3]
-        counts = _score(R, t, p_all, q_all, valid, thresh_sq)
-        if use_checkers:
-            ok_edge = _edge_length_ok(ps, qs, edge_length_ratio)
-            moved = jnp.einsum("kab,kmb->kma", R, ps) + t[:, None, :]
-            ok_dist = jnp.all(jnp.sum((moved - qs) ** 2, -1) < thresh_sq, axis=1)
-            counts = jnp.where(ok_edge & ok_dist, counts, -1)
-
+        R, t, counts = sample_fit_score(
+            pq, F, c, valid, triples, thresh_sq,
+            edge_length_ratio=edge_length_ratio,
+            use_checkers=use_checkers,
+        )
         ka = jnp.argmax(counts)
-        Ta, ca = T[ka], counts[ka]
+        Ta, ca = winner_T(R, t, ka), counts[ka]
         # second in-batch mode: best among hypotheses rotation-far from Ta
-        cosang = (jnp.einsum("ij,kij->k", Ta[:3, :3], R) - 1.0) * 0.5
+        cosang = rot_cos_planar(Ta, R)
         counts_far = jnp.where(cosang < cos_thr, counts, -1)
         kb = jnp.argmax(counts_far)
-        Tb, cb = T[kb], counts_far[kb]
+        Tb, cb = winner_T(R, t, kb), counts_far[kb]
 
         T1, c1, T2, c2 = merge(T1, c1, T2, c2, Ta, ca)
         T1, c1, T2, c2 = merge(T1, c1, T2, c2, Tb, cb)
