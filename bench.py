@@ -28,11 +28,13 @@ BASELINE_PAIRS_PER_SEC = 1.0 / ((8.98 + 21.12) * 1e-3)
 
 RANSAC_HYPOTHESES = 4096
 ICP_ITERS = 8
-# Dispatch overhead through the axon tunnel is ~25-40 ms/call with a
-# ~0.9 ms/pair marginal cost (measured scan: B=16 -> 388 pairs/s, B=64 ->
-# 713, B=128 -> 872), so a large pair batch amortizes the fixed cost.
-PAIR_BATCH = 256
-TIMED_REPS = 6
+# Dispatch overhead through the axon tunnel is ~25-40 ms/call; after the
+# planar-RANSAC rewrite the marginal cost is ~0.19 ms/pair, so the batch must
+# be large to amortize the fixed cost (measured scan: B=256 -> 3683 pairs/s,
+# B=1024 -> 4640, B=2048 -> 5028, B=4096 -> 5171; 2048 balances throughput
+# against compile time).
+PAIR_BATCH = 2048
+TIMED_REPS = 5
 
 
 def log(*a):

@@ -145,3 +145,20 @@ def test_eigh3_degenerate():
     assert np.isfinite(np.asarray(v)).all()
     # plane covariance: smallest eigenvector is the plane normal z
     np.testing.assert_allclose(np.abs(np.asarray(v[2])), [0, 0, 1], atol=1e-5)
+
+
+def test_nn_mutual_matches_two_searches():
+    from tpu3dm.ops.nn import nn_mutual
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(120, 33)).astype(np.float32)
+    b = rng.normal(size=(90, 33)).astype(np.float32)
+    ma = np.ones(120, bool)
+    ma[100:] = False
+    mb = np.ones(90, bool)
+    mb[80:] = False
+    fwd, bwd = nn_mutual(jnp.asarray(a), jnp.asarray(b), jnp.asarray(ma), jnp.asarray(mb))
+    _, bf = brute_nn(a, b[:80])
+    _, bb = brute_nn(b, a[:100])
+    np.testing.assert_array_equal(np.asarray(fwd)[:100], bf[:100])
+    np.testing.assert_array_equal(np.asarray(bwd)[:80], bb[:80])

@@ -262,3 +262,36 @@ def nn_search(
     if jax.default_backend() in ("cpu",):
         return nn_search_xla(query, target, query_mask, target_mask)
     return nn_search_pallas(query, target, query_mask, target_mask, **kw)
+
+
+def nn_mutual(
+    a: jax.Array,
+    b: jax.Array,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward AND backward top-1 NN from ONE distance matrix.
+
+    The mutual filter (reference: ``mutual_filter=True``,
+    src/matcher/ransac.py:47,85) needs argmin over both axes of the same
+    [Na, Nb] matrix; computing the directions separately doubles the matmul
+    and materializes the matrix twice.  The per-row constant |a_i|^2 cannot
+    change the row argmin (nor |b_j|^2 the column argmin), so one matrix with
+    BOTH constants added serves both reductions — masked rows/columns are
+    pushed unreachably far by the masked squared norms.
+
+    Returns:
+      (idx_fwd [..., Na], idx_bwd [..., Nb]): for each a its nearest b, and
+      for each b its nearest a.  Supports leading batch dims (dense path).
+    """
+    if a.shape[-2] * b.shape[-2] <= DENSE_MAX_ENTRIES:
+        _, asq = _prep(a, mask_a)
+        _, bsq = _prep(b, mask_b)
+        cross = jnp.einsum("...nd,...md->...nm", a, b)
+        d2 = asq[..., :, None] + bsq[..., None, :] - 2.0 * cross
+        idx_fwd = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        idx_bwd = jnp.argmin(d2, axis=-2).astype(jnp.int32)
+        return idx_fwd, idx_bwd
+    _, idx_fwd = nn_search(a, b, mask_a, mask_b)
+    _, idx_bwd = nn_search(b, a, mask_b, mask_a)
+    return idx_fwd, idx_bwd

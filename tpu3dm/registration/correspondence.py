@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dm.core.cloud import PointCloud
-from tpu3dm.ops.nn import nn_search
+from tpu3dm.ops.nn import nn_mutual, nn_search
 
 
 def _feature_nn(query_f, target_f, query_mask, target_mask):
@@ -52,15 +52,16 @@ def feature_correspondences(
     Returns:
       (pairs [Ns, 2] int32 rows [src_idx, tgt_idx], valid [Ns] bool).
     """
-    _, idx_fwd = _feature_nn(src.features, tgt.features, src.mask, tgt.mask)
     ns = src.capacity
-    pairs = jnp.stack([jnp.arange(ns, dtype=jnp.int32), idx_fwd], axis=1)
     valid = src.mask
-
     if mutual_filter:
-        _, idx_bwd = _feature_nn(tgt.features, src.features, tgt.mask, src.mask)
+        # One distance matrix, two axis reductions (ops/nn.py nn_mutual).
+        idx_fwd, idx_bwd = nn_mutual(src.features, tgt.features, src.mask, tgt.mask)
         mutual = idx_bwd[idx_fwd] == jnp.arange(ns, dtype=jnp.int32)
         valid = valid & mutual
+    else:
+        _, idx_fwd = _feature_nn(src.features, tgt.features, src.mask, tgt.mask)
+    pairs = jnp.stack([jnp.arange(ns, dtype=jnp.int32), idx_fwd], axis=1)
 
     noise_ratio = jnp.asarray(noise_ratio, jnp.float32)
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dm.core import se3
-from tpu3dm.ops.nn import nn_search
+from tpu3dm.ops.nn import nn_mutual, nn_search
 from tpu3dm.parallel.multipair import ransac_pair_step
 
 
@@ -56,12 +56,14 @@ def fused_register_step(
     Returns (T [4,4], ransac_fitness, icp_rmse).
     """
     # --- correspondences in FPFH space -------------------------------------
-    _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask)
     valid = src_mask
     if mutual_filter:
-        _, idx_bwd = _nn(tgt_feat, src_feat, tgt_mask, src_mask)
+        # One distance matrix, two axis reductions (ops/nn.py nn_mutual).
+        idx_fwd, idx_bwd = nn_mutual(src_feat, tgt_feat, src_mask, tgt_mask)
         ns = src_pts.shape[0]
         valid = valid & (idx_bwd[idx_fwd] == jnp.arange(ns, dtype=jnp.int32))
+    else:
+        _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask)
     p_all = src_pts
     q_all = tgt_pts[idx_fwd]
 
