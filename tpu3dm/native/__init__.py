@@ -78,6 +78,11 @@ def lib() -> ctypes.CDLL | None:
     L.t3n_cloud_stats.argtypes = [
         _c_double_p, ctypes.c_long, _c_double_p, _c_double_p, _c_double_p,
     ]
+    L.t3n_kd_perm.restype = None
+    L.t3n_kd_perm.argtypes = [
+        _c_double_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
     _lib = L
     return _lib
 
@@ -146,6 +151,22 @@ def extract_xyz(
     )
     if rc != 0:
         raise RuntimeError("t3n_extract_xyz failed")
+    return out
+
+
+def kd_perm(points: np.ndarray, block: int) -> np.ndarray | None:
+    """KD-partition permutation (ops/nn_sparse.py semantics); None when the
+    native tier is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    L.t3n_kd_perm(
+        pts.ctypes.data_as(_c_double_p), n, int(block),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
     return out
 
 

@@ -48,7 +48,7 @@ class LargeCloud:
 def prepare_large_cloud(
     points: np.ndarray,
     *,
-    block: int = 1024,
+    block: int = 512,
     normals: np.ndarray | None = None,
 ) -> LargeCloud:
     """Host-side KD partition + pad; one call per cloud, reused across ICP."""
@@ -159,7 +159,7 @@ def icp_refine_large(
     *,
     dist_thresh: float,
     max_iterations: int = 30,
-    w: int = 16,
+    w: int = 8,
     point_to_plane: bool | None = None,
 ) -> RegistrationResult:
     """ICP between two prepared large clouds.
@@ -240,7 +240,7 @@ def register_arrays_large(
     config=None,
     *,
     key=None,
-    block: int = 1024,
+    block: int = 512,
     w: int = 8,
 ):
     """Full registration of two large raw clouds (100k-10M points).
