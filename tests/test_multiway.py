@@ -117,3 +117,60 @@ def test_multiway_registration_synthetic():
     for k in range(1, n):
         rmse = np.sqrt(((recon[k] - recon[0]) ** 2).sum(1).mean())
         assert rmse < 0.05, f"cloud {k} rmse {rmse}"
+
+
+def test_multiway_batched_matches_sequential():
+    """Batched fan-out (one vmapped dispatch for all edges) aligns the same
+    clouds to the same consistency as the sequential path."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.multiway.posegraph import register_multiway_batched
+    from tpu3dm.preprocess.pipeline import preprocess_points
+
+    base = dental_arch_cloud(6000, seed=0)
+    n = 4
+    poses_true = [np.eye(4)] + [_rand_pose(20 + i, 0.15) for i in range(1, n)]
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    clouds = []
+    for k in range(n):
+        Pinv = np.linalg.inv(poses_true[k])
+        pts = base @ Pinv[:3, :3].T + Pinv[:3, 3]
+        clouds.append(preprocess_points(pts, cfg.preprocess))
+
+    out = register_multiway_batched(clouds, cfg, key=jax.random.PRNGKey(3))
+    assert out.poses.shape == (n, 4, 4)
+    assert (out.edge_fitness > 0.3).all()
+    recon = [
+        (base @ np.linalg.inv(poses_true[k])[:3, :3].T + np.linalg.inv(poses_true[k])[:3, 3])
+        @ out.poses[k][:3, :3].T
+        + out.poses[k][:3, 3]
+        for k in range(n)
+    ]
+    for k in range(1, n):
+        rmse = np.sqrt(((recon[k] - recon[0]) ** 2).sum(1).mean())
+        assert rmse < 0.05, f"cloud {k} rmse {rmse}"
+
+
+def test_multiway_batched_checkpoint_resume(tmp_path):
+    """A fully-checkpointed batched run resumes without recomputation."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.multiway.posegraph import register_multiway_batched
+    from tpu3dm.preprocess.pipeline import preprocess_points
+
+    base = dental_arch_cloud(4000, seed=1)
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    poses_true = [np.eye(4), _rand_pose(31, 0.1), _rand_pose(32, 0.1)]
+    clouds = []
+    for k in range(3):
+        Pinv = np.linalg.inv(poses_true[k])
+        pts = base @ Pinv[:3, :3].T + Pinv[:3, 3]
+        clouds.append(preprocess_points(pts, cfg.preprocess))
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = register_multiway_batched(clouds, cfg, key=jax.random.PRNGKey(0),
+                                     checkpoint_dir=ckpt)
+    out2 = register_multiway_batched(clouds, cfg, key=jax.random.PRNGKey(0),
+                                     checkpoint_dir=ckpt)
+    np.testing.assert_allclose(out1.poses, out2.poses, atol=1e-6)
+    np.testing.assert_allclose(out1.edge_transforms, out2.edge_transforms, atol=1e-6)

@@ -176,14 +176,15 @@ def _cmd_multiway(args) -> int:
 
     from tpu3dm.core.config import PipelineConfig
     from tpu3dm.io.ply import read_ply
-    from tpu3dm.multiway.posegraph import register_multiway
+    from tpu3dm.multiway.posegraph import register_multiway, register_multiway_batched
     from tpu3dm.preprocess.pipeline import preprocess_points_batch
 
     cfg = PipelineConfig.with_voxel_size(args.voxel_size)
     # Batched ingest: all clouds' feature stages in one device dispatch.
     raw = [read_ply(p)["points"] for p in args.files]
     clouds = preprocess_points_batch(raw, cfg.preprocess)
-    out = register_multiway(
+    register = register_multiway_batched if args.batched else register_multiway
+    out = register(
         clouds,
         cfg,
         key=jax.random.PRNGKey(args.seed),
@@ -265,6 +266,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="resumable run: completed edges are persisted here and "
                         "skipped on re-run")
+    p.add_argument("--batched", action="store_true",
+                   help="register ALL edges in one vmapped device dispatch "
+                        "(register_multiway_batched) instead of one pair at "
+                        "a time")
     p.set_defaults(fn=_cmd_multiway)
 
     return ap

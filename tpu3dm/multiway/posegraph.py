@@ -189,3 +189,178 @@ def register_multiway(
         edge_transforms=np.stack(T_list),
         edge_fitness=np.asarray(fit_list),
     )
+
+
+def register_multiway_batched(
+    clouds,
+    config=None,
+    *,
+    edges: list[tuple[int, int]] | None = None,
+    key=None,
+    pose_graph_iters: int = 20,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 12,
+    mesh=None,
+    checkpoint_dir: str | None = None,
+) -> MultiwayResult:
+    """Align N preprocessed clouds with ALL edges in one device dispatch.
+
+    The multi-way fan-out (BASELINE config 5): clouds are stacked to a common
+    capacity, the edge list becomes a leading pair axis, and one jitted
+    vmap(fused_register_step) registers every edge — optionally sharded over
+    the ``pair`` axis of a device mesh, which is the multi-host fan-out
+    (parallel/multipair.py's pattern applied to the full RANSAC+ICP step).
+    Sequential equivalent: register_multiway (one register_pair per edge,
+    E host round-trips instead of one).
+
+    Checkpointing (``checkpoint_dir``) is batch-granular here: completed runs
+    are reused edge-by-edge on resume, but a fresh batch recomputes all edges
+    in one dispatch.
+    """
+    from tpu3dm.core.config import PipelineConfig
+
+    n = len(clouds)
+    if n < 2:
+        raise ValueError("multiway registration needs >= 2 clouds")
+    if edges is None:
+        edges = default_edges(n)
+    if config is None:
+        config = PipelineConfig.with_voxel_size(clouds[0].voxel_size)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    store = None
+    if checkpoint_dir is not None:
+        from tpu3dm.multiway.checkpoint import CheckpointStore, EdgeRecord
+
+        store = CheckpointStore(checkpoint_dir)
+        store.write_manifest(
+            n_clouds=n,
+            edges=[list(e) for e in edges],
+            voxel_size=float(clouds[0].voxel_size),
+        )
+        cached = {e: store.get_edge(*e) for e in edges}
+        if all(cached[e] is not None for e in edges):
+            T_list = [np.asarray(cached[e].transformation) for e in edges]
+            fit_list = [cached[e].fitness for e in edges]
+            return _solve_poses(
+                n, edges, T_list, fit_list, pose_graph_iters, store
+            )
+
+    # Stack the downsampled clouds to one common capacity.
+    cap = max(c.down.capacity for c in clouds)
+
+    def padto(a, width):
+        pad = width - a.shape[0]
+        if pad == 0:
+            return np.asarray(a)
+        return np.concatenate([np.asarray(a), np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+    pts = jnp.asarray(np.stack([padto(c.down.points, cap) for c in clouds]))
+    feat = jnp.asarray(np.stack([padto(c.down.features, cap) for c in clouds]))
+    nrm = jnp.asarray(np.stack([padto(c.down.normals, cap) for c in clouds]))
+    msk = jnp.asarray(np.stack([padto(c.down.mask, cap) for c in clouds]))
+
+    e_np = np.asarray(edges, np.int32)
+    si, ti = jnp.asarray(e_np[:, 0]), jnp.asarray(e_np[:, 1])
+    keys = jax.random.split(key, len(edges))
+
+    run = _edges_runner(
+        float(config.ransac.dist_thresh),
+        float(config.icp.dist_thresh),
+        int(ransac_iterations),
+        min(int(ransac_iterations), 4096),
+        int(icp_iterations),
+        bool(config.ransac.mutual_filter),
+    )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu3dm.parallel.mesh import PAIR_AXIS
+
+        shard = NamedSharding(mesh, P(PAIR_AXIS))
+        si = jax.device_put(si, shard)
+        ti = jax.device_put(ti, shard)
+        keys = jax.device_put(keys, shard)
+
+    Ts, fit, rmse = run(pts, feat, msk, nrm, si, ti, keys)
+    T_np = np.asarray(Ts)
+    fit_np = np.asarray(fit)
+    T_list = [T_np[e] for e in range(len(edges))]
+    fit_list = [float(fit_np[e]) for e in range(len(edges))]
+
+    if store is not None:
+        from tpu3dm.multiway.checkpoint import EdgeRecord
+
+        rmse_np = np.asarray(rmse)
+        for e, (i, j) in enumerate(edges):
+            store.put_edge(
+                i, j,
+                EdgeRecord(
+                    transformation=T_list[e],
+                    fitness=fit_list[e],
+                    inlier_rmse=float(rmse_np[e]),
+                    iterations=ransac_iterations,
+                ),
+            )
+
+    return _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store)
+
+
+@functools.lru_cache(maxsize=None)
+def _edges_runner(
+    dist_thresh: float,
+    icp_thresh: float,
+    ransac_iterations: int,
+    ransac_batch: int,
+    icp_iterations: int,
+    mutual_filter: bool,
+):
+    """Jitted all-edges registration step, cached by its static parameters.
+
+    A fresh jax.jit closure per call would recompile the whole fused step on
+    every register_multiway_batched invocation (measured: 4.8 s/call instead
+    of ~40 ms warm); the lru_cache keeps one compiled program per config.
+    """
+    from tpu3dm.registration.fused import fused_register_step
+
+    step = functools.partial(
+        fused_register_step,
+        dist_thresh=dist_thresh,
+        icp_thresh=icp_thresh,
+        ransac_iterations=ransac_iterations,
+        ransac_batch=ransac_batch,
+        icp_iterations=icp_iterations,
+        mutual_filter=mutual_filter,
+    )
+
+    @jax.jit
+    def run(pts, feat, msk, nrm, si, ti, keys):
+        def one(i, j, k):
+            return step(
+                pts[i], feat[i], msk[i], nrm[i],
+                pts[j], feat[j], msk[j], nrm[j], k,
+            )
+
+        return jax.vmap(one)(si, ti, keys)
+
+    return run
+
+
+def _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store):
+    T_meas = jnp.asarray(np.stack(T_list), jnp.float32)
+    e_arr = jnp.asarray(np.asarray(edges, np.int32))
+    w_arr = jnp.asarray(np.asarray(fit_list, np.float32))
+    poses = optimize_pose_graph(
+        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters
+    )
+    poses_np = np.asarray(poses)
+    if store is not None:
+        store.write_poses(poses_np)
+    return MultiwayResult(
+        poses=poses_np,
+        edges=np.asarray(edges),
+        edge_transforms=np.stack(T_list),
+        edge_fitness=np.asarray(fit_list),
+    )
