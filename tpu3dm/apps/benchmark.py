@@ -378,12 +378,15 @@ def main(argv=None) -> int:
         run_large_cloud_benchmark(args.large, out_json=out)
         return 0
     if args.sweep:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_sweep.json"
         run_hypothesis_sweep(
             args.source,
             args.target,
             voxel_size=args.voxel_size,
             hypothesis_counts=args.sweep_counts,
-            out_json=args.out_json,
+            out_json=out,
         )
         return 0
     run_comprehensive_benchmark(
