@@ -111,3 +111,54 @@ def test_batched_ransac_pair_dp(mesh4x2):
         )
         assert err < 2.5, f"pair {i}: {err} deg"
         assert float(fit[i]) > 0.55
+
+
+def test_batched_register_mesh_invariant():
+    """The sharded batched register step recovers the same pose on a
+    1-device and an 8-device mesh.
+
+    Bit-equality does NOT hold: different mesh layouts compile different
+    fusions, whose rounding can flip near-tie hypothesis elections — so the
+    assertion is semantic (same rotation within a degree, same fitness)
+    rather than exact.
+    """
+    import numpy as np
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.parallel.mesh import make_mesh
+    from tpu3dm.parallel.register import batched_register
+    from tpu3dm.preprocess.pipeline import preprocess_points
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    sp, tp, _ = make_benchmark_pair(4000, seed=0, sigma=0.01)
+    s = preprocess_points(sp, cfg.preprocess).down
+    t = preprocess_points(tp, cfg.preprocess).down
+    cap = max(s.capacity, t.capacity)
+
+    def padto(a, w):
+        a = np.asarray(a)
+        pad = w - a.shape[0]
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+    P = 8
+    def rep(a):
+        return jnp.asarray(np.broadcast_to(padto(a, cap), (P,) + padto(a, cap).shape).copy())
+
+    args = [rep(s.points), rep(s.features), rep(s.mask), rep(s.normals),
+            rep(t.points), rep(t.features), rep(t.mask), rep(t.normals)]
+    keys = jax.random.split(jax.random.PRNGKey(0), P)
+
+    devs = jax.devices()
+    out1 = batched_register(make_mesh(1, 1, devices=devs[:1]), *args, keys,
+                            ransac_iterations=512, icp_iterations=4)
+    out8 = batched_register(make_mesh(len(devs), 1, devices=devs), *args, keys,
+                            ransac_iterations=512, icp_iterations=4)
+    T1, T8 = np.asarray(out1[0]), np.asarray(out8[0])
+    for p in range(P):
+        M = T1[p][:3, :3] @ T8[p][:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+        assert ang < 1.0, f"pair {p}: rotation differs by {ang} deg"
+        assert np.abs(T1[p][:3, 3] - T8[p][:3, 3]).max() < 0.05
+    np.testing.assert_allclose(
+        np.asarray(out1[1]), np.asarray(out8[1]), atol=0.05
+    )

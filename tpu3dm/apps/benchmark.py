@@ -334,6 +334,108 @@ def run_large_cloud_benchmark(
     return report
 
 
+def run_scaling_benchmark(
+    mesh_sizes: tuple[int, ...] = (1, 2, 4, 8),
+    *,
+    pairs_per_device: int = 64,
+    n_points: int = 20_000,
+    out_json: str = "benchmark_scaling.json",
+) -> dict:
+    """Cloud-pairs/s scaling efficiency over growing pair-DP meshes.
+
+    BASELINE.json: "cloud-pairs/s scaling efficiency measured at 1 chip, 1
+    host, and N hosts (>= 80% at N >= 2)".  Each mesh size registers
+    ``pairs_per_device * n`` distinct preprocessed pairs with the sharded
+    batched step (parallel/register.py); efficiency(n) =
+    pairs_per_sec(n) / (n * pairs_per_sec(1)).  Runs identically on real
+    chips and on a CPU-simulated mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=N); recovered poses are
+    semantically mesh-layout-invariant (tests/test_parallel.py).
+    """
+    from tpu3dm.parallel.mesh import make_mesh
+    from tpu3dm.parallel.register import batched_register
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    devices = jax.devices()
+    sizes = [n for n in mesh_sizes if n <= len(devices)]
+    if not sizes:
+        raise RuntimeError(f"no usable mesh sizes from {mesh_sizes} on {len(devices)} devices")
+
+    # Distinct preprocessed pairs, stacked to one capacity.
+    n_src_pairs = 8
+    clouds = []
+    for s in range(n_src_pairs):
+        sp, tp, _ = make_benchmark_pair(n_points, seed=s, sigma=0.01)
+        clouds.append(
+            (preprocess_points(sp, cfg.preprocess), preprocess_points(tp, cfg.preprocess))
+        )
+    cap = max(max(c[0].down.capacity, c[1].down.capacity) for c in clouds)
+
+    def padto(a, w):
+        a = np.asarray(a)
+        pad = w - a.shape[0]
+        if pad == 0:
+            return a
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+    def stacked(n_pairs):
+        reps = -(-n_pairs // n_src_pairs)
+
+        def stack(attr, which):
+            base = np.stack([padto(getattr(c[which].down, attr), cap) for c in clouds])
+            return np.tile(base, (reps,) + (1,) * (base.ndim - 1))[:n_pairs]
+
+        s = [stack(a, 0) for a in ("points", "features", "mask", "normals")]
+        t = [stack(a, 1) for a in ("points", "features", "mask", "normals")]
+        return s + t
+
+    rows = []
+    base_rate = None
+    for n in sizes:
+        mesh = make_mesh(n, 1, devices=devices[:n])
+        P_ = pairs_per_device * n
+        arrays = [jax.device_put(a) for a in stacked(P_)]
+        keys = jax.random.split(jax.random.PRNGKey(0), P_)
+
+        def run():
+            return batched_register(
+                mesh, *arrays, keys,
+                dist_thresh=float(cfg.ransac.dist_thresh),
+                icp_thresh=float(cfg.icp.dist_thresh),
+            )
+
+        out = run()
+        np.asarray(out[1].ravel()[:4])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run()
+            np.asarray(out[1].ravel()[:4])
+            ts.append(time.perf_counter() - t0)
+        rate = P_ / min(ts)
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (n * base_rate)
+        rows.append(
+            {"mesh": n, "pairs": P_, "time_s": min(ts),
+             "pairs_per_sec": rate, "efficiency": eff,
+             "min_fitness": float(np.asarray(out[1]).min())}
+        )
+        logger.info(
+            "scaling mesh=%d: %.1f pairs/s, efficiency %.2f", n, rate, eff
+        )
+
+    report = {
+        "config": {"pairs_per_device": pairs_per_device, "n_points": n_points,
+                   "cap": cap, "backend": jax.default_backend(),
+                   "devices": len(devices)},
+        "rows": rows,
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info("wrote %s", out_json)
+    return report
+
+
 def add_args(ap: argparse.ArgumentParser) -> None:
     """Reference CLI surface (benchmark_ransac.py:283-322)."""
     ap.add_argument("--source", default=None, help="source PLY (default: synthetic)")
@@ -364,6 +466,26 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         help="run the large-cloud benchmark at N points (BASELINE config 4) "
         "instead of the phase benchmark",
     )
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="run the mesh scaling-efficiency benchmark (pairs/s at mesh "
+        "sizes 1..N; BASELINE's >=80%% at N>=2 target)",
+    )
+    ap.add_argument(
+        "--mesh-sizes",
+        type=lambda s: tuple(int(x) for x in s.split(",")),
+        default=(1, 2, 4, 8),
+        help="comma-separated mesh sizes for --scaling",
+    )
+    ap.add_argument(
+        "--scaling-pairs", type=int, default=64,
+        help="pairs per device for --scaling",
+    )
+    ap.add_argument(
+        "--scaling-points", type=int, default=20_000,
+        help="points per cloud for --scaling",
+    )
 
 
 def main(argv=None) -> int:
@@ -376,6 +498,17 @@ def main(argv=None) -> int:
         if out == "benchmark_results.json":
             out = "benchmark_large.json"
         run_large_cloud_benchmark(args.large, out_json=out)
+        return 0
+    if args.scaling:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_scaling.json"
+        run_scaling_benchmark(
+            args.mesh_sizes,
+            pairs_per_device=args.scaling_pairs,
+            n_points=args.scaling_points,
+            out_json=out,
+        )
         return 0
     if args.sweep:
         out = args.out_json

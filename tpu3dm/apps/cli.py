@@ -290,6 +290,11 @@ def _reargs(a) -> list[str]:
         out += ["--sweep-counts", ",".join(str(c) for c in a.sweep_counts)]
     if getattr(a, "large", None):
         out += ["--large", str(a.large)]
+    if getattr(a, "scaling", False):
+        out.append("--scaling")
+        out += ["--mesh-sizes", ",".join(str(n) for n in a.mesh_sizes)]
+        out += ["--scaling-pairs", str(a.scaling_pairs)]
+        out += ["--scaling-points", str(a.scaling_points)]
     return out
 
 
