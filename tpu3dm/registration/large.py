@@ -234,6 +234,23 @@ def coarse_pose_with_verification(
     return best
 
 
+def donor_normals(cloud: LargeCloud, down) -> jax.Array:
+    """Full-resolution normals by donation from the downsampled cloud.
+
+    Exact normal estimation at 1M+ points is O(N * k) covariance work; for
+    point-to-plane ICP the normal only enters through the projection of the
+    residual, and surface orientation varies smoothly — so each full-res
+    point borrows the normal of its nearest *downsampled* point (which has an
+    exact radius-covariance normal, preprocess/normals.py).  One tiled NN
+    query per cloud.  Point-to-plane is sign-invariant (flipping n flips r
+    and J together), so donor orientation is irrelevant.
+    """
+    from tpu3dm.ops.nn import nn_search
+
+    _, idx = nn_search(cloud.points, down.points, None, down.mask)
+    return down.normals[idx]
+
+
 def register_arrays_large(
     src_pts: np.ndarray,
     tgt_pts: np.ndarray,
@@ -242,13 +259,17 @@ def register_arrays_large(
     key=None,
     block: int = 512,
     w: int = 8,
+    point_to_plane: bool = True,
 ):
     """Full registration of two large raw clouds (100k-10M points).
 
     Coarse stage runs on voxel-downsampled clouds exactly like the standard
     pipeline (RANSAC over FPFH correspondences); refinement runs block-sparse
-    point-to-point ICP on the full-resolution clouds.  Full-res normal
-    estimation (O(N^2 / blocks)) is intentionally skipped at this scale.
+    ICP on the full-resolution clouds — point-to-plane by default, with
+    full-res target normals donated from the downsampled cloud
+    (``donor_normals``; exact O(N*k) normal estimation is intentionally
+    skipped at this scale).  ``point_to_plane=False`` falls back to
+    point-to-point.
 
     Returns (RegistrationResult of the refinement, coarse RegistrationResult).
     """
@@ -288,6 +309,8 @@ def register_arrays_large(
 
     src = prepare_large_cloud(src_pts, block=block)
     tgt = prepare_large_cloud(tgt_pts, block=block)
+    if point_to_plane:
+        tgt = dataclasses.replace(tgt, normals=donor_normals(tgt, tgt_down))
     fine = icp_refine_large(
         src,
         tgt,
@@ -295,6 +318,6 @@ def register_arrays_large(
         dist_thresh=config.icp.dist_thresh,
         max_iterations=config.icp.max_iterations,
         w=w,
-        point_to_plane=False,
+        point_to_plane=point_to_plane,
     )
     return fine, coarse

@@ -17,7 +17,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu3dm.core.cloud import PointCloud
 from tpu3dm.core.config import RansacConfig
