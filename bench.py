@@ -62,7 +62,7 @@ def main() -> None:
 
     from tpu3dm.core.config import PipelineConfig
     from tpu3dm.io.synthetic import make_benchmark_pair
-    from tpu3dm.preprocess.pipeline import preprocess_points
+    from tpu3dm.preprocess.pipeline import preprocess_points, preprocess_points_batch
     from tpu3dm.registration.fused import fused_register_step
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
@@ -150,12 +150,16 @@ def main() -> None:
 
     # --- secondary: distinct pairs (no CSE of the correspondence search) ----
     dp = DISTINCT_PAIRS
-    clouds = [(src, tgt)]
+    raw = []
     for s in range(1, dp):
         sp, tp, _ = make_benchmark_pair(20_000, seed=s, sigma=0.01)
-        clouds.append(
-            (preprocess_points(sp, cfg.preprocess), preprocess_points(tp, cfg.preprocess))
-        )
+        raw.extend([sp, tp])
+    # Batched ingest: all remaining clouds' feature stages in ONE vmapped
+    # dispatch (one compile) instead of 2*(dp-1) per-cloud dispatches.
+    procs = preprocess_points_batch(raw, cfg.preprocess)
+    clouds = [(src, tgt)] + [
+        (procs[i], procs[i + 1]) for i in range(0, len(procs), 2)
+    ]
     cap = max(max(c[0].down.capacity, c[1].down.capacity) for c in clouds)
 
     def padto(a, w):

@@ -25,7 +25,11 @@ import numpy as np
 
 from tpu3dm.core.config import PipelineConfig
 from tpu3dm.io.synthetic import make_benchmark_pair
-from tpu3dm.preprocess.pipeline import load_cloud, preprocess_points
+from tpu3dm.preprocess.pipeline import (
+    load_cloud,
+    preprocess_points,
+    preprocess_points_batch,
+)
 from tpu3dm.registration.correspondence import feature_correspondences, gather_pairs
 from tpu3dm.registration.kabsch import fit_rigid_horn
 from tpu3dm.registration.ransac import (
@@ -57,17 +61,41 @@ def run_comprehensive_benchmark(
     Profiler.reset()
     cfg = PipelineConfig.with_voxel_size(voxel_size)
 
+    # Session warm-up: the first device round trip of a process pays remote
+    # session establishment on the axon stack (tens of seconds, independent
+    # of program) — pay it here so phase timings measure compile+compute.
+    np.asarray(jax.device_put(np.ones(8, np.float32)))
+
     # Phase 1: preprocessing (ref :31-60) ------------------------------------
+    # Cold span includes XLA compilation (a one-time per-shape cost); warm
+    # spans measure what production ingest pays once programs are cached.
     if source and target:
+        from tpu3dm.io.ply import read_ply
+
         with profile_block("preprocessing_total"):
             src = load_cloud(source, cfg.preprocess)
             tgt = load_cloud(target, cfg.preprocess)
+        s_pts = read_ply(source)["points"]
+        t_pts = read_ply(target)["points"]
     else:
         logger.info("no input files; using the synthetic benchmark pair")
         s_pts, t_pts, _ = make_benchmark_pair(20_000, seed=0, sigma=0.01)
         with profile_block("preprocessing_total"):
             src = preprocess_points(s_pts, cfg.preprocess)
             tgt = preprocess_points(t_pts, cfg.preprocess)
+    for _ in range(3):
+        with profile_block("preprocessing_warm"):
+            src = preprocess_points(s_pts, cfg.preprocess)
+            tgt = preprocess_points(t_pts, cfg.preprocess)
+            np.asarray(tgt.full.normals[:1])  # real device fence
+    # Batched ingest: BOTH clouds' feature stages in one vmapped dispatch —
+    # the production multi-cloud path (preprocess_points_batch).
+    both = preprocess_points_batch([s_pts, t_pts], cfg.preprocess)  # compile
+    np.asarray(both[1].full.normals[:1])
+    for _ in range(3):
+        with profile_block("preprocessing_batched"):
+            both = preprocess_points_batch([s_pts, t_pts], cfg.preprocess)
+            np.asarray(both[1].full.normals[:1])
 
     # Phase 2: correspondence computation (ref :63-84) -----------------------
     key = jax.random.PRNGKey(0)
@@ -172,6 +200,11 @@ def run_comprehensive_benchmark(
             "per_hypothesis_ms": per_iter_ms,
             "est_10k_iterations_s": est_10k_s,
             "hypotheses_per_sec": 1e3 / per_iter_ms if per_iter_ms else None,
+            # Reference CPU: 791.23 ms for the same two-cloud preprocess
+            # (benchmark_results.txt:6).  Warm = cached-compile production
+            # cost; batched = both clouds in one vmapped dispatch.
+            "preprocess_warm_ms_2clouds": stats["preprocessing_warm"].avg,
+            "preprocess_batched_ms_2clouds": stats["preprocessing_batched"].avg,
         },
         "spans": {k: v.as_dict() for k, v in stats.items()},
     }
@@ -361,14 +394,15 @@ def run_scaling_benchmark(
     if not sizes:
         raise RuntimeError(f"no usable mesh sizes from {mesh_sizes} on {len(devices)} devices")
 
-    # Distinct preprocessed pairs, stacked to one capacity.
+    # Distinct preprocessed pairs, stacked to one capacity.  Batched ingest:
+    # every cloud's feature stages in one vmapped dispatch (one compile).
     n_src_pairs = 8
-    clouds = []
+    raw = []
     for s in range(n_src_pairs):
         sp, tp, _ = make_benchmark_pair(n_points, seed=s, sigma=0.01)
-        clouds.append(
-            (preprocess_points(sp, cfg.preprocess), preprocess_points(tp, cfg.preprocess))
-        )
+        raw.extend([sp, tp])
+    procs = preprocess_points_batch(raw, cfg.preprocess)
+    clouds = [(procs[i], procs[i + 1]) for i in range(0, len(procs), 2)]
     cap = max(max(c[0].down.capacity, c[1].down.capacity) for c in clouds)
 
     def padto(a, w):

@@ -70,6 +70,13 @@ def _features_device(
     return down, full
 
 
+# Module-level so the jit executable cache persists across calls — a wrapper
+# built inside preprocess_points_batch would recompile on every invocation.
+_features_device_batched = jax.jit(
+    jax.vmap(_features_device, in_axes=(0, 0, None, None))
+)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _noise_device(down: PointCloud, key: jax.Array, sigma: jax.Array) -> PointCloud:
     noise = sigma * jax.random.normal(key, down.points.shape)
@@ -144,8 +151,7 @@ def preprocess_points_batch(
     down_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *downs_pc)
     full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
 
-    batch_features = jax.jit(jax.vmap(_features_device, in_axes=(0, 0, None, None)))
-    down_b, full_b = batch_features(
+    down_b, full_b = _features_device_batched(
         down_in,
         full_in,
         jnp.float32(config.normal_radius),
