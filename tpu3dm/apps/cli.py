@@ -229,6 +229,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.set_defaults(fn=lambda a: crash_main([]))
 
+    p = sub.add_parser("kernels", help="kernel roofline microbenchmarks (speed-of-light %)")
+    p.add_argument("--quick", action="store_true", help="small shapes only")
+    p.add_argument("--out", default="kernel_roofline.json")
+    from tpu3dm.apps.kernelbench import run_kernel_benchmark
+
+    p.set_defaults(fn=lambda a: run_kernel_benchmark(quick=a.quick, out_path=a.out))
+
     p = sub.add_parser("convert", help="STL -> PLY (convert_stl-ply.py parity)")
     p.add_argument("source")
     p.add_argument("dest")

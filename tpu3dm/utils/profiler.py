@@ -9,6 +9,12 @@ report and file export.  Two TPU-specific additions:
     value before stopping the clock, so device work is actually measured
     rather than async dispatch time.
   - ``trace(dir)`` wraps ``jax.profiler.trace`` for XProf capture.
+
+Memory tracking parity: the reference optionally records per-span RSS deltas
+via psutil (profiler.py:14-18,100-119).  Here it is opt-in via
+``Profiler.enable_memory_tracking()`` and reads ``/proc/self/statm`` directly
+(stdlib-only); ``device_memory_stats()`` adds the TPU-side equivalent the
+reference could not have (per-device bytes in use from the JAX runtime).
 """
 
 from __future__ import annotations
@@ -25,15 +31,48 @@ from typing import Any, Callable
 import jax
 
 
+def _rss_bytes() -> int:
+    """Current resident-set size in bytes (Linux; 0 where unavailable)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def device_memory_stats() -> dict[str, dict[str, int]]:
+    """Per-device memory stats from the JAX runtime (bytes in use / limit).
+
+    The TPU-side counterpart of the reference's host-RSS tracking; returns an
+    empty dict on backends that do not expose memory_stats.
+    """
+    out: dict[str, dict[str, int]] = {}
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+        except (RuntimeError, AttributeError, jax.errors.JaxRuntimeError):
+            continue
+        if stats:
+            out[str(dev)] = {
+                k: int(v)
+                for k, v in stats.items()
+                if isinstance(v, (int, float)) and "bytes" in k
+            }
+    return out
+
+
 @dataclass
 class TimingStats:
     """Aggregate statistics for one named span (reference: profiler.py:21-59)."""
 
     name: str
     times: list[float] = field(default_factory=list)
+    rss_deltas: list[int] = field(default_factory=list)
 
-    def add(self, elapsed: float) -> None:
+    def add(self, elapsed: float, rss_delta: int | None = None) -> None:
         self.times.append(elapsed)
+        if rss_delta is not None:
+            self.rss_deltas.append(rss_delta)
 
     @property
     def count(self) -> int:
@@ -60,7 +99,7 @@ class TimingStats:
         return max(self.times) if self.times else 0.0
 
     def as_dict(self) -> dict[str, float]:
-        return {
+        d = {
             "count": self.count,
             "total_ms": self.total * 1e3,
             "avg_ms": self.avg * 1e3,
@@ -68,32 +107,50 @@ class TimingStats:
             "min_ms": self.min * 1e3,
             "max_ms": self.max * 1e3,
         }
+        if self.rss_deltas:
+            d["avg_rss_delta_mb"] = (
+                sum(self.rss_deltas) / len(self.rss_deltas) / 1e6
+            )
+            d["max_rss_delta_mb"] = max(self.rss_deltas) / 1e6
+        return d
 
 
 class Profiler:
     """Process-global named-span timing registry (reference: profiler.py:62-241)."""
 
     _stats: dict[str, TimingStats] = {}
+    _track_memory: bool = False
 
     def __init__(self, name: str, fence: Any = None):
         self.name = name
         self._fence = fence
         self._t0 = 0.0
+        self._rss0 = 0
 
     def __enter__(self) -> "Profiler":
+        if Profiler._track_memory:
+            self._rss0 = _rss_bytes()
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc) -> None:
         if self._fence is not None:
             jax.block_until_ready(self._fence)
-        self.record(self.name, time.perf_counter() - self._t0)
+        elapsed = time.perf_counter() - self._t0
+        rss_delta = _rss_bytes() - self._rss0 if Profiler._track_memory else None
+        self.record(self.name, elapsed, rss_delta)
 
     # ---- registry ----------------------------------------------------------
 
     @classmethod
-    def record(cls, name: str, elapsed: float) -> None:
-        cls._stats.setdefault(name, TimingStats(name)).add(elapsed)
+    def enable_memory_tracking(cls, enabled: bool = True) -> None:
+        """Opt-in per-span host-RSS deltas (reference: psutil path,
+        profiler.py:14-18,100-119; stdlib /proc read here)."""
+        cls._track_memory = enabled
+
+    @classmethod
+    def record(cls, name: str, elapsed: float, rss_delta: int | None = None) -> None:
+        cls._stats.setdefault(name, TimingStats(name)).add(elapsed, rss_delta)
 
     @classmethod
     def get_stats(cls) -> dict[str, TimingStats]:
@@ -114,11 +171,14 @@ class Profiler:
             "-" * 106,
         ]
         for s in rows:
-            lines.append(
+            line = (
                 f"{s.name:<48} {s.count:>7} {s.total * 1e3:>10.2f} "
                 f"{s.avg * 1e3:>9.3f} {s.median * 1e3:>9.3f} "
                 f"{s.min * 1e3:>9.3f} {s.max * 1e3:>9.3f}"
             )
+            if s.rss_deltas:
+                line += f"  rss {sum(s.rss_deltas) / len(s.rss_deltas) / 1e6:+.1f} MB"
+            lines.append(line)
         return "\n".join(lines)
 
     @classmethod
@@ -155,11 +215,10 @@ def profile(name: str | None = None, fence_result: bool = False) -> Callable:
 
         @wraps(fn)
         def wrapper(*args, **kwargs):
-            t0 = time.perf_counter()
-            out = fn(*args, **kwargs)
-            if fence_result:
-                jax.block_until_ready(out)
-            Profiler.record(span, time.perf_counter() - t0)
+            with Profiler(span):
+                out = fn(*args, **kwargs)
+                if fence_result:
+                    jax.block_until_ready(out)
             return out
 
         return wrapper
