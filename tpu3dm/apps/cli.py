@@ -171,6 +171,60 @@ def _cmd_trace(args) -> int:
     return 0
 
 
+def _cmd_register_batch(args) -> int:
+    """Register many PLY pairs in capacity-bucketed batched dispatches.
+
+    The manifest is a text file with one ``source.ply target.ply`` pair per
+    line (or a JSON list of [source, target] pairs).  Results go to one JSON
+    file indexed like the manifest.
+    """
+    import jax
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.ply import read_ply
+    from tpu3dm.preprocess.pipeline import preprocess_points_batch
+    from tpu3dm.registration.batch import register_pairs_batched
+
+    cfg = PipelineConfig.with_voxel_size(args.voxel_size)
+    text = Path(args.manifest).read_text()
+    if text.lstrip().startswith("["):
+        pair_paths = [(a, b) for a, b in json.loads(text)]
+    else:
+        pair_paths = [
+            tuple(line.split()) for line in text.splitlines() if line.strip()
+        ]
+        for pp in pair_paths:
+            if len(pp) != 2:
+                raise ValueError(f"manifest line needs 2 paths, got: {pp}")
+
+    # One batched ingest for every distinct cloud file.
+    uniq = sorted({p for pair in pair_paths for p in pair})
+    raw = [read_ply(p)["points"] for p in uniq]
+    procs = dict(zip(uniq, preprocess_points_batch(raw, cfg.preprocess)))
+    pairs = [(procs[a], procs[b]) for a, b in pair_paths]
+
+    res = register_pairs_batched(
+        pairs,
+        cfg,
+        key=jax.random.PRNGKey(args.seed),
+        ransac_iterations=args.ransac_iterations,
+    )
+    payload = [
+        {
+            "source": a,
+            "target": b,
+            "transformation": res.transforms[i].tolist(),
+            "ransac_fitness": float(res.ransac_fitness[i]),
+            "icp_rmse": float(res.icp_rmse[i]),
+            "bucket_capacity": res.bucket_of_pair[i],
+        }
+        for i, (a, b) in enumerate(pair_paths)
+    ]
+    Path(args.out).write_text(json.dumps(payload, indent=2))
+    logger.info("wrote %s (%d pairs)", args.out, len(payload))
+    return 0
+
+
 def _cmd_multiway(args) -> int:
     import jax
 
@@ -264,6 +318,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="ransac_trace.jsonl")
     p.add_argument("--out-html", default=None)
     p.set_defaults(fn=_cmd_trace)
+
+    p = sub.add_parser(
+        "register-batch",
+        help="register many PLY pairs (capacity-bucketed batched dispatches)",
+    )
+    p.add_argument("manifest", help="text file: one 'src.ply tgt.ply' per line, or JSON [[src,tgt],...]")
+    p.add_argument("--voxel-size", type=float, default=0.3)
+    p.add_argument("--ransac-iterations", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="batch_results.json")
+    p.set_defaults(fn=_cmd_register_batch)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")
     p.add_argument("files", nargs="+")

@@ -1,0 +1,236 @@
+"""Capacity-bucketed multi-pair registration — the production batch API.
+
+The fused single-dispatch step (registration/fused.py) gives its headline
+throughput only when many pairs share one compiled program.  Naively stacking
+a mixed-size workload pads EVERY pair to the largest capacity in the batch:
+one 1024-capacity pair drags 768-capacity pairs to (1024/768)^2 = 1.8x the
+NN work (measured: 5045 -> 1768 pairs/s on the bench's distinct-pair batch).
+
+This module fixes that the production way:
+
+  1. compact each preprocessed cloud to its valid points (host-side, once),
+  2. group pairs into capacity buckets (round_up to ``bucket_multiple``),
+  3. pad the pair axis of each bucket to a power-of-two batch so repeated
+     calls reuse a small set of compiled programs,
+  4. one vmapped dispatch per bucket (optionally mesh-sharded over the
+     ``pair`` axis via parallel/register.py),
+  5. return per-pair results in input order.
+
+No reference counterpart (the reference registers exactly one pair,
+src/main.py:26-38); this is the TPU-native many-pairs axis mandated by
+BASELINE.json's north star ("cloud-pairs/s").
+
+Cost model (measured): each call compacts on host and re-uploads the batch,
+so throughput is bound by host->device bandwidth — ~70 MB/s through the axon
+tunnel (≈100 pairs/s end-to-end at 2048 pairs), vs ~16 GB/s PCIe on a real
+TPU host (the same upload is ~30 ms).  In production each pair is uploaded
+once and the cost amortizes; for repeated registration of device-resident
+batches use parallel/register.py ``batched_register`` directly (1768-5045
+pairs/s on one v5e chip, bench.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import numpy as np
+
+from tpu3dm.core.cloud import round_up
+from tpu3dm.core.config import PipelineConfig
+from tpu3dm.preprocess.pipeline import ProcessedCloud
+from tpu3dm.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ransac_iterations", "icp_iterations")
+)
+def _batched_step(
+    sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
+    *, ransac_iterations, icp_iterations,
+):
+    """vmapped fused step; module-level so the executable cache persists."""
+    from tpu3dm.registration.fused import fused_register_step
+
+    def step(a, b, c, d, e, f, g, h, k):
+        return fused_register_step(
+            a, b, c, d, e, f, g, h, k,
+            dist_thresh=dist_thresh,
+            icp_thresh=icp_thresh,
+            ransac_iterations=ransac_iterations,
+            ransac_batch=min(ransac_iterations, 4096),
+            icp_iterations=icp_iterations,
+        )
+
+    return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Per-pair outputs of a batched registration, in input order."""
+
+    transforms: np.ndarray  # [P, 4, 4]
+    ransac_fitness: np.ndarray  # [P]
+    icp_rmse: np.ndarray  # [P]
+    bucket_of_pair: list[int]  # bucket capacity each pair ran at
+
+
+def _tight(cloud: ProcessedCloud) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Valid-only (points, features, normals) of the downsampled cloud."""
+    m = np.asarray(cloud.down.mask)
+    return (
+        np.asarray(cloud.down.points)[m],
+        np.asarray(cloud.down.features)[m],
+        np.asarray(cloud.down.normals)[m],
+    )
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    pad = n - a.shape[0]
+    if pad <= 0:
+        return a[:n]
+    return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
+def register_pairs_batched(
+    pairs: list[tuple[ProcessedCloud, ProcessedCloud]],
+    config: PipelineConfig | None = None,
+    *,
+    key: jax.Array | None = None,
+    mesh=None,
+    bucket_multiple: int = 256,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+) -> BatchResult:
+    """Register many preprocessed pairs with capacity-bucketed dispatches.
+
+    Args:
+      pairs: (source, target) ``ProcessedCloud`` tuples.
+      config: pipeline config (thresholds); defaults to voxel 0.3 constants.
+      key: PRNG key; per-pair keys are folded from it.
+      mesh: optional ``jax.sharding.Mesh`` with a ``pair`` axis — each bucket
+        dispatch is then sharded over it (parallel/register.py).  Bucket
+        batches are padded to a multiple of the mesh's pair-axis size.
+      bucket_multiple: capacity quantum for grouping.
+      ransac_iterations / icp_iterations: per-pair work knobs.
+
+    Returns:
+      BatchResult with arrays indexed like ``pairs``.
+    """
+    import jax.numpy as jnp
+
+    if config is None:
+        config = PipelineConfig.with_voxel_size(0.3)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pairs = len(pairs)
+    if n_pairs == 0:
+        return BatchResult(
+            np.zeros((0, 4, 4), np.float32),
+            np.zeros((0,), np.float32),
+            np.zeros((0,), np.float32),
+            [],
+        )
+
+    # --- compact + bucket ---------------------------------------------------
+    tights = []
+    buckets: dict[int, list[int]] = {}
+    for i, (src, tgt) in enumerate(pairs):
+        ts, tt = _tight(src), _tight(tgt)
+        cap = round_up(max(ts[0].shape[0], tt[0].shape[0], 1), bucket_multiple)
+        tights.append((ts, tt))
+        buckets.setdefault(cap, []).append(i)
+
+    pair_quantum = int(mesh.shape["pair"]) if mesh is not None else 1
+
+    out_T = np.zeros((n_pairs, 4, 4), np.float32)
+    out_fit = np.zeros((n_pairs,), np.float32)
+    out_rmse = np.zeros((n_pairs,), np.float32)
+    bucket_of = [0] * n_pairs
+
+    # Host copy once: fancy-indexing a jax array per bucket would trigger
+    # eager device ops (a remote compile per op on the axon backend).
+    keys = np.asarray(jax.random.split(key, n_pairs))
+
+    if mesh is not None:
+        from tpu3dm.parallel.register import batched_register
+
+        def dispatch(arrays, ks):
+            return batched_register(
+                mesh, *arrays, ks,
+                dist_thresh=float(config.ransac.dist_thresh),
+                icp_thresh=float(config.icp.dist_thresh),
+                ransac_iterations=ransac_iterations,
+                icp_iterations=icp_iterations,
+            )
+
+    else:
+
+        def dispatch(arrays, ks):
+            return _batched_step(
+                *arrays, ks,
+                jnp.float32(config.ransac.dist_thresh),
+                jnp.float32(config.icp.dist_thresh),
+                ransac_iterations=ransac_iterations,
+                icp_iterations=icp_iterations,
+            )
+
+    for cap, idxs in sorted(buckets.items()):
+        # Pad the pair axis to a power of two (>= mesh quantum) so repeated
+        # workloads hit a handful of compiled programs, not one per size.
+        b = len(idxs)
+        b_pad = max(pair_quantum, 1 << (b - 1).bit_length())
+        b_pad = round_up(b_pad, pair_quantum)
+
+        def stack(which, what):
+            rows = [_pad_rows(tights[i][which][what], cap) for i in idxs]
+            rows += [rows[0]] * (b_pad - b)  # dummy repeats of the first pair
+            return np.stack(rows)
+
+        def stack_mask():
+            rows = []
+            for i in idxs:
+                n_valid = tights[i][0][0].shape[0]
+                m = np.zeros((cap,), bool)
+                m[: min(n_valid, cap)] = True
+                rows.append(m)
+            tgt_rows = []
+            for i in idxs:
+                n_valid = tights[i][1][0].shape[0]
+                m = np.zeros((cap,), bool)
+                m[: min(n_valid, cap)] = True
+                tgt_rows.append(m)
+            rows += [rows[0]] * (b_pad - b)
+            tgt_rows += [tgt_rows[0]] * (b_pad - b)
+            return np.stack(rows), np.stack(tgt_rows)
+
+        sm, tm = stack_mask()
+        # Source normals are accepted-but-unused by fused_register_step
+        # (point-to-plane projects onto TARGET normals only); a device-side
+        # zeros placeholder avoids shipping [B, cap, 3] of dead data through
+        # the host link.
+        src_nrm = jnp.zeros((b_pad, cap, 3), jnp.float32)
+        arrays = [
+            stack(0, 0), stack(0, 1), sm, src_nrm,
+            stack(1, 0), stack(1, 1), tm, stack(1, 2),
+        ]
+        ks = np.asarray(keys[idxs])
+        ks = np.concatenate([ks, np.repeat(ks[:1], b_pad - b, axis=0)])
+
+        T, fit, rmse = dispatch(arrays, jnp.asarray(ks))
+        T = np.asarray(T)[:b]
+        fit = np.asarray(fit)[:b]
+        rmse = np.asarray(rmse)[:b]
+        for j, i in enumerate(idxs):
+            out_T[i] = T[j]
+            out_fit[i] = fit[j]
+            out_rmse[i] = rmse[j]
+            bucket_of[i] = cap
+        logger.info(
+            "bucket cap=%d: %d pairs (padded to %d) registered", cap, b, b_pad
+        )
+
+    return BatchResult(out_T, out_fit, out_rmse, bucket_of)
