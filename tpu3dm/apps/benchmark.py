@@ -465,6 +465,14 @@ def run_scaling_benchmark(
                    "devices": len(devices)},
         "rows": rows,
     }
+    if jax.default_backend() == "cpu":
+        report["note"] = (
+            "CPU-simulated mesh: virtual devices share the same host cores, "
+            "so total compute is fixed and efficiency trends to 1/n by "
+            "construction.  This artifact validates the sharded program "
+            "(collectives, layout-invariant results); the >=80% efficiency "
+            "target is only measurable on real multi-chip hardware."
+        )
     Path(out_json).write_text(json.dumps(report, indent=2))
     logger.info("wrote %s", out_json)
     return report
