@@ -37,6 +37,9 @@ BASELINE_PAIRS_PER_SEC = 1.0 / ((8.98 + 21.12) * 1e-3)
 
 RANSAC_HYPOTHESES = 4096
 ICP_ITERS = 8
+# 2 Gauss-Newton solves per correspondence search (same 8 solve iterations,
+# half the NN passes); the quality gate below verifies the trade.
+ICP_SOLVES_PER_NN = 2
 # Dispatch overhead through the axon tunnel is ~25-40 ms/call; after the
 # planar-RANSAC rewrite the marginal cost is ~0.19 ms/pair, so the batch must
 # be large to amortize the fixed cost (measured scan: B=256 -> 3683 pairs/s,
@@ -105,6 +108,7 @@ def main() -> None:
             ransac_iterations=RANSAC_HYPOTHESES,
             ransac_batch=RANSAC_HYPOTHESES,
             icp_iterations=ICP_ITERS,
+            icp_solves_per_nn=ICP_SOLVES_PER_NN,
         )
 
     batched = jax.jit(jax.vmap(step))
@@ -186,6 +190,7 @@ def main() -> None:
             ransac_iterations=RANSAC_HYPOTHESES,
             ransac_batch=RANSAC_HYPOTHESES,
             icp_iterations=ICP_ITERS,
+            icp_solves_per_nn=ICP_SOLVES_PER_NN,
         )
 
     batched_d = jax.jit(jax.vmap(step_d))
