@@ -200,6 +200,7 @@ def register_multiway_batched(
     pose_graph_iters: int = 20,
     ransac_iterations: int = 4096,
     icp_iterations: int = 12,
+    icp_solves_per_nn: int = 2,
     mesh=None,
     checkpoint_dir: str | None = None,
 ) -> MultiwayResult:
@@ -271,6 +272,7 @@ def register_multiway_batched(
         int(ransac_iterations),
         min(int(ransac_iterations), 4096),
         int(icp_iterations),
+        int(icp_solves_per_nn),
         bool(config.ransac.mutual_filter),
     )
 
@@ -315,6 +317,7 @@ def _edges_runner(
     ransac_iterations: int,
     ransac_batch: int,
     icp_iterations: int,
+    icp_solves_per_nn: int,
     mutual_filter: bool,
 ):
     """Jitted all-edges registration step, cached by its static parameters.
@@ -332,6 +335,7 @@ def _edges_runner(
         ransac_iterations=ransac_iterations,
         ransac_batch=ransac_batch,
         icp_iterations=icp_iterations,
+        icp_solves_per_nn=icp_solves_per_nn,
         mutual_filter=mutual_filter,
     )
 

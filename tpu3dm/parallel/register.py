@@ -31,6 +31,7 @@ from tpu3dm.registration.fused import fused_register_step
         "icp_thresh",
         "ransac_iterations",
         "icp_iterations",
+        "icp_solves_per_nn",
     ),
 )
 def batched_register(
@@ -49,6 +50,7 @@ def batched_register(
     icp_thresh: float = 0.12,
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
+    icp_solves_per_nn: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -69,5 +71,6 @@ def batched_register(
         ransac_iterations=ransac_iterations,
         ransac_batch=min(ransac_iterations, 4096),
         icp_iterations=icp_iterations,
+        icp_solves_per_nn=icp_solves_per_nn,
     )
     return jax.vmap(step)(*arrays)

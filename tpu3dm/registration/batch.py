@@ -46,11 +46,12 @@ logger = setup_logging(__name__)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ransac_iterations", "icp_iterations")
+    jax.jit,
+    static_argnames=("ransac_iterations", "icp_iterations", "icp_solves_per_nn"),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
-    *, ransac_iterations, icp_iterations,
+    *, ransac_iterations, icp_iterations, icp_solves_per_nn,
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -63,6 +64,7 @@ def _batched_step(
             ransac_iterations=ransac_iterations,
             ransac_batch=min(ransac_iterations, 4096),
             icp_iterations=icp_iterations,
+            icp_solves_per_nn=icp_solves_per_nn,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -104,6 +106,7 @@ def register_pairs_batched(
     bucket_multiple: int = 256,
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
+    icp_solves_per_nn: int = 2,
 ) -> BatchResult:
     """Register many preprocessed pairs with capacity-bucketed dispatches.
 
@@ -165,6 +168,7 @@ def register_pairs_batched(
                 icp_thresh=float(config.icp.dist_thresh),
                 ransac_iterations=ransac_iterations,
                 icp_iterations=icp_iterations,
+                icp_solves_per_nn=icp_solves_per_nn,
             )
 
     else:
@@ -176,6 +180,7 @@ def register_pairs_batched(
                 jnp.float32(config.icp.dist_thresh),
                 ransac_iterations=ransac_iterations,
                 icp_iterations=icp_iterations,
+                icp_solves_per_nn=icp_solves_per_nn,
             )
 
     for cap, idxs in sorted(buckets.items()):
