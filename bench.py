@@ -37,9 +37,13 @@ BASELINE_PAIRS_PER_SEC = 1.0 / ((8.98 + 21.12) * 1e-3)
 
 RANSAC_HYPOTHESES = 4096
 ICP_ITERS = 8
-# 2 Gauss-Newton solves per correspondence search (same 8 solve iterations,
-# half the NN passes); the quality gate below verifies the trade.
-ICP_SOLVES_PER_NN = 2
+# Gauss-Newton solves per ICP correspondence search (same 8 solve
+# iterations; fewer NN passes).  Measured on v5e, quality gate enforced:
+#   1 solve/NN: 5045 pairs/s, rot_err 0.059 deg
+#   2 solves/NN: 6705 pairs/s, rot_err 0.062 deg
+#   4 solves/NN: 8098 pairs/s, rot_err 0.081 deg, align rmse 0.0037
+# All far inside the gate (2 deg / 0.1); production APIs default to 2.
+ICP_SOLVES_PER_NN = 4
 # Dispatch overhead through the axon tunnel is ~25-40 ms/call; after the
 # planar-RANSAC rewrite the marginal cost is ~0.19 ms/pair, so the batch must
 # be large to amortize the fixed cost (measured scan: B=256 -> 3683 pairs/s,
