@@ -489,6 +489,12 @@ def add_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--out-txt", default="benchmark_results.txt")
     ap.add_argument("--out-json", default="benchmark_results.json")
     ap.add_argument(
+        "--track-memory",
+        action="store_true",
+        help="record per-span host RSS deltas in the profiler report "
+        "(reference: optional psutil tracking, profiler.py:14-18)",
+    )
+    ap.add_argument(
         "--sweep",
         action="store_true",
         help="run the hypothesis-count x inlier-threshold grid sweep "
@@ -534,6 +540,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     add_args(ap)
     args = ap.parse_args(argv)
+    if getattr(args, "track_memory", False):
+        Profiler.enable_memory_tracking(True)
     if args.large:
         # Don't clobber the phase-benchmark artifact with the default name.
         out = args.out_json
