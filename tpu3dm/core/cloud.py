@@ -121,11 +121,17 @@ def from_numpy(
     features: np.ndarray | None = None,
     capacity: int | None = None,
     pad_multiple: int = 256,
+    host: bool = False,
 ) -> PointCloud:
     """Build a padded PointCloud from host arrays.
 
     Host-side (un-jitted) constructor: pads to a bucketed capacity so repeated
     calls with similar sizes hit the same compiled programs downstream.
+
+    ``host=True`` keeps the leaves as NumPy arrays: jit call boundaries
+    upload them on first dispatch, so host-side consumers (valid counts,
+    compaction, re-bucketing) read them for free instead of paying a
+    device round trip (~25 ms each through the axon tunnel).
     """
     points = np.asarray(points, dtype=np.float32)
     if points.ndim != 2 or points.shape[1] != 3:
@@ -147,6 +153,13 @@ def from_numpy(
 
     mask = np.zeros((cap,), dtype=bool)
     mask[:n] = True
+    if host:
+        return PointCloud(
+            points=pad(points, 3),
+            mask=mask,
+            normals=pad(normals, 3),
+            features=pad(features, 0),
+        )
     return PointCloud(
         points=jnp.asarray(pad(points, 3)),
         mask=jnp.asarray(mask),

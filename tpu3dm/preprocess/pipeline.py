@@ -97,6 +97,9 @@ def preprocess_points(
     with profile_block("preprocess/ingest"):
         full = from_numpy(points)
         down = voxel_downsample_host(points, config.voxel_size)
+        # Host count now, while the mask is still a NumPy array — after the
+        # feature dispatch it is a device array and this costs a round trip.
+        n_down = int(np.asarray(down.mask).sum())
     with profile_block("preprocess/features_device"):
         down, full = _features_device(
             down,
@@ -109,9 +112,6 @@ def preprocess_points(
         if key is None:
             key = jax.random.PRNGKey(0)
         down = _noise_device(down, key, jnp.float32(config.noise_sigma))
-    # Host-side count (np, not the traced .count property): an eager jnp op
-    # here costs a full remote compile (~30 s) on the axon backend.
-    n_down = int(np.asarray(down.mask).sum())
     logger.info(
         "Preprocessed cloud: %d points -> %d downsampled (voxel %.3g)",
         points.shape[0],

@@ -97,7 +97,9 @@ def voxel_downsample_host(
 
     means_nat = native.voxel_downsample(pts, voxel_size)
     if means_nat is not None:
-        return from_numpy(means_nat.astype(np.float32), pad_multiple=pad_multiple)
+        return from_numpy(
+            means_nat.astype(np.float32), pad_multiple=pad_multiple, host=True
+        )
 
     lo = pts.min(axis=0)
     ijk = np.floor((pts - lo[None, :]) / float(voxel_size)).astype(np.int64)
@@ -108,4 +110,4 @@ def voxel_downsample_host(
     sums = np.zeros((counts.shape[0], 3), dtype=np.float64)
     np.add.at(sums, inverse, pts)
     means = (sums / counts[:, None]).astype(np.float32)
-    return from_numpy(means, pad_multiple=pad_multiple)
+    return from_numpy(means, pad_multiple=pad_multiple, host=True)
