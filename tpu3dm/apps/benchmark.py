@@ -294,6 +294,92 @@ def run_hypothesis_sweep(
     return report
 
 
+def run_multiway_benchmark(
+    n_clouds: int = 16,
+    *,
+    n_points: int = 20_000,
+    out_json: str = "benchmark_multiway.json",
+) -> dict:
+    """Multi-way registration benchmark (BASELINE config 5).
+
+    N synthetic views of one cloud under known rigid transforms of the
+    reference's test magnitude; all chain+loop-closure edges registered in
+    ONE batched dispatch (multiway/posegraph.py register_multiway_batched),
+    then the pose-graph Gauss-Newton solve.  Reports edges/s (warm) and
+    per-edge rotation error vs ground truth.
+    """
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.multiway.posegraph import default_edges, register_multiway_batched
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    rng = np.random.default_rng(0)
+    base = dental_arch_cloud(n_points, seed=0)
+    center = base.mean(axis=0)
+
+    def rand_T(k):
+        r = np.random.default_rng(1000 + k)
+        a, b, c = r.uniform(-np.pi / 6, np.pi / 6, size=3)
+        rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+        ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+        rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+        R = rz @ ry @ rx
+        t = r.uniform(-0.5, 0.5, size=3)
+        o = -R @ center + center + t
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = o
+        return T
+
+    trues = [np.eye(4)] + [rand_T(k) for k in range(1, n_clouds)]
+    views = [
+        (base @ T[:3, :3].T + T[:3, 3]
+         + 0.01 * rng.standard_normal(base.shape)).astype(np.float32)
+        for T in trues
+    ]
+    clouds = preprocess_points_batch(views, cfg.preprocess)
+    edges = default_edges(n_clouds)
+
+    import jax as _jax
+
+    key = _jax.random.PRNGKey(0)
+    out = register_multiway_batched(clouds, cfg, key=key)  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = register_multiway_batched(clouds, cfg, key=key)
+        times.append(time.perf_counter() - t0)
+    warm_s = float(np.median(times))
+
+    # Per-edge quality: estimated T_ij vs ground-truth view_j <- view_i.
+    rot_errs = []
+    for (i, j), T_est in zip(edges, out.edge_transforms):
+        Ti, Tj = trues[i], trues[j]
+        T_true = np.eye(4)
+        T_true[:3, :3] = Tj[:3, :3] @ Ti[:3, :3].T
+        T_true[:3, 3] = Tj[:3, 3] - T_true[:3, :3] @ Ti[:3, 3]
+        M = np.asarray(T_est)[:3, :3] @ T_true[:3, :3].T
+        rot_errs.append(
+            float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+        )
+    report = {
+        "config": {"n_clouds": n_clouds, "n_points": n_points,
+                   "edges": len(edges), "backend": jax.default_backend()},
+        "warm_s": warm_s,
+        "edges_per_sec": len(edges) / warm_s,
+        "rot_err_deg_mean": float(np.mean(rot_errs)),
+        "rot_err_deg_max": float(np.max(rot_errs)),
+        "min_edge_fitness": float(np.min(out.edge_fitness)),
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info(
+        "multiway %d clouds / %d edges: %.0f ms warm (%.1f edges/s), "
+        "rot err mean %.3f deg max %.3f deg",
+        n_clouds, len(edges), warm_s * 1e3, report["edges_per_sec"],
+        report["rot_err_deg_mean"], report["rot_err_deg_max"],
+    )
+    return report
+
+
 def run_large_cloud_benchmark(
     n_points: int = 1_048_576,
     *,
@@ -489,6 +575,14 @@ def add_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--out-txt", default="benchmark_results.txt")
     ap.add_argument("--out-json", default="benchmark_results.json")
     ap.add_argument(
+        "--multiway",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run the N-cloud multiway benchmark (BASELINE config 5) "
+        "instead of the phase benchmark",
+    )
+    ap.add_argument(
         "--track-memory",
         action="store_true",
         help="record per-span host RSS deltas in the profiler report "
@@ -548,6 +642,12 @@ def main(argv=None) -> int:
         if out == "benchmark_results.json":
             out = "benchmark_large.json"
         run_large_cloud_benchmark(args.large, out_json=out)
+        return 0
+    if args.multiway:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_multiway.json"
+        run_multiway_benchmark(args.multiway, out_json=out)
         return 0
     if args.scaling:
         out = args.out_json
