@@ -135,3 +135,17 @@ def test_cli_multiway(tmp_path):
     poses = json.loads((tmp_path / "poses.json").read_text())
     assert len(poses["poses"]) == 3
     assert min(poses["edge_fitness"]) > 0.5
+
+
+def test_multiway_benchmark_smoke(tmp_path):
+    """Structure check at tiny scale (quality is validated at the real
+    20k-point config by the committed artifact — small arches can
+    mis-register due to shape symmetry, so no quality gate here)."""
+    from tpu3dm.apps.benchmark import run_multiway_benchmark
+
+    out = tmp_path / "mw.json"
+    r = run_multiway_benchmark(3, n_points=6000, out_json=str(out))
+    assert set(r) >= {"warm_s", "edges_per_sec", "rot_err_deg_mean",
+                      "rot_err_deg_max", "min_edge_fitness"}
+    assert r["edges_per_sec"] > 0
+    assert json.loads(out.read_text())["config"]["n_clouds"] == 3
