@@ -257,3 +257,38 @@ class TestEndToEnd:
         rmse = float(np.sqrt(((moved[inside] - expect[inside]) ** 2).sum(1).mean()))
         assert rot_err < 2.0, f"rotation error {rot_err} deg"
         assert rmse < 0.08, f"overlap-region rmse {rmse}"
+
+
+def test_restarts_rescue_symmetric_alias():
+    """Near-symmetric arch at low resolution: plain RANSAC can elect a
+    ~60-degree alias whose inlier count ties the true pose; ICP-verified
+    restarts (register_pair(restarts=4)) must recover the true transform.
+    Repro discovered via the multiway benchmark at n_points=6000."""
+    import numpy as np
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.preprocess.pipeline import preprocess_points_batch
+    from tpu3dm.registration.pipeline import register_pair
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    rng = np.random.default_rng(0)
+    base = dental_arch_cloud(6000, seed=0)
+    center = base.mean(axis=0)
+    r = np.random.default_rng(1001)
+    a, b, c = r.uniform(-np.pi / 6, np.pi / 6, size=3)
+    rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+    ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+    rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+    R = rz @ ry @ rx
+    t = r.uniform(-0.5, 0.5, size=3)
+    o = -R @ center + center + t
+    views = [
+        (base + 0.01 * rng.standard_normal(base.shape)).astype(np.float32),
+        (base @ R.T + o + 0.01 * rng.standard_normal(base.shape)).astype(np.float32),
+    ]
+    procs = preprocess_points_batch(views, cfg.preprocess)
+    res = register_pair(procs[0], procs[1], cfg, restarts=4)
+    M = np.asarray(res.icp.transformation)[:3, :3] @ R.T
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+    assert rot_err < 2.0, rot_err

@@ -87,7 +87,9 @@ def _cmd_register(args) -> int:
     src = preprocess_points(np.asarray(s), cfg.preprocess)
     tgt = preprocess_points(np.asarray(t), cfg.preprocess)
 
-    out = register_pair(src, tgt, cfg, key=jax.random.PRNGKey(args.seed))
+    out = register_pair(
+        src, tgt, cfg, key=jax.random.PRNGKey(args.seed), restarts=args.restarts
+    )
     T = np.asarray(out.transformation)
     print(json.dumps({
         "ransac": {"fitness": float(out.ransac.fitness),
@@ -270,6 +272,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--large", action="store_true", default=None,
                    help="force the large-cloud path (block-sparse NN ICP); "
                         "auto-selected above 200k points")
+    p.add_argument("--restarts", type=int, default=1,
+                   help="ICP-verified RANSAC restarts (>1 rescues "
+                        "near-symmetric clouds whose inlier counts tie)")
     p.set_defaults(fn=_cmd_register)
 
     p = sub.add_parser("bench", help="comprehensive benchmark (benchmark_ransac.py parity)")
