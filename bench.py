@@ -44,6 +44,9 @@ ICP_ITERS = 8
 #   4 solves/NN: 8098 pairs/s, rot_err 0.081 deg, align rmse 0.0037
 # All far inside the gate (2 deg / 0.1); production APIs default to 2.
 ICP_SOLVES_PER_NN = 4
+# bf16 score matmul on centered coordinates; the elected winner is exactly
+# re-fit + re-counted, so final transforms keep fp32 quality (gate-verified).
+APPROX_SCORE = True
 # Dispatch overhead through the axon tunnel is ~25-40 ms/call; after the
 # planar-RANSAC rewrite the marginal cost is ~0.19 ms/pair, so the batch must
 # be large to amortize the fixed cost (measured scan: B=256 -> 3683 pairs/s,
@@ -113,6 +116,7 @@ def main() -> None:
             ransac_batch=RANSAC_HYPOTHESES,
             icp_iterations=ICP_ITERS,
             icp_solves_per_nn=ICP_SOLVES_PER_NN,
+            approx_score=APPROX_SCORE,
         )
 
     batched = jax.jit(jax.vmap(step))
@@ -195,6 +199,7 @@ def main() -> None:
             ransac_batch=RANSAC_HYPOTHESES,
             icp_iterations=ICP_ITERS,
             icp_solves_per_nn=ICP_SOLVES_PER_NN,
+            approx_score=APPROX_SCORE,
         )
 
     batched_d = jax.jit(jax.vmap(step_d))

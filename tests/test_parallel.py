@@ -162,3 +162,42 @@ def test_batched_register_mesh_invariant():
     np.testing.assert_allclose(
         np.asarray(out1[1]), np.asarray(out8[1]), atol=0.05
     )
+
+
+def test_approx_score_matches_exact_winner():
+    """bf16 scoring (centered coords) must elect a winner whose exact refit
+    lands on the same transform as full-fp32 scoring."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dm.parallel.multipair import ransac_pair_step
+
+    rng = np.random.default_rng(11)
+    p = rng.standard_normal((512, 3)).astype(np.float32) * 2.0 + 5.0
+    ang = 0.4
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    t = np.array([0.3, -0.2, 0.5], np.float32)
+    q = p @ R.T + t + 0.01 * rng.standard_normal((512, 3)).astype(np.float32)
+    q[300:] += rng.standard_normal((212, 3)).astype(np.float32)  # outliers
+    valid = np.ones(512, bool)
+    key = jax.random.PRNGKey(0)
+
+    kw = dict(dist_thresh=0.3, iterations=2048, batch_size=2048)
+    T_exact, c_exact = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid), key, **kw
+    )
+    T_approx, c_approx = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid), key,
+        approx_score=True, **kw
+    )
+    for T in (np.asarray(T_exact), np.asarray(T_approx)):
+        M = T[:3, :3] @ R.T
+        rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+        assert rot_err < 2.0, rot_err  # noise-limited: exact path ~1 deg here
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.2)
+    # exact recount after refit: counts should agree closely
+    assert abs(int(c_exact) - int(c_approx)) <= 5

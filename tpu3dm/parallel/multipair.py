@@ -42,11 +42,22 @@ def ransac_pair_step(
     batch_size: int,
     edge_length_ratio: float = 0.9,
     refit: bool = True,
+    approx_score: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
 
     Planar hypothesis chunks (registration/hypotheses.py) under lax.scan;
     optional exact Horn re-fit of the winner on its inlier set.
+
+    Both clouds are shifted to the valid-correspondence centroid before
+    hypothesis work and the winner is un-shifted at return: the rank-15
+    bilinear score sums terms of magnitude O(|coords|^2), so centering
+    shrinks its cancellation error — and is a precondition for
+    ``approx_score=True``, which runs the score matmul with bf16 inputs
+    (fp32 accumulate; ~3x fewer MXU passes).  bf16 rounding can flip a few
+    borderline inlier counts, but the elected winner is re-fit and
+    re-counted EXACTLY by ``refit_inliers``, so final transforms/fitness
+    stay exact-arithmetic quality.
 
     Returns (best_T [4,4], best_count scalar int32).
     """
@@ -56,6 +67,12 @@ def ransac_pair_step(
     q_all = q_all[order]
     valid = valid[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    # Common shift: centroid of the valid correspondence points.
+    w = valid.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    c0 = jnp.sum((p_all + q_all) * 0.5 * w, axis=0) / denom
+    p_all = jnp.where(valid[:, None], p_all - c0, 0.0)
+    q_all = jnp.where(valid[:, None], q_all - c0, 0.0)
     n_chunks = max(1, iterations // batch_size)
     pq, F, c = prepare_correspondences(p_all, q_all)
 
@@ -65,6 +82,7 @@ def ransac_pair_step(
         R, t, counts = sample_fit_score(
             pq, F, c, valid, triples, thresh_sq,
             edge_length_ratio=edge_length_ratio,
+            approx_score=approx_score,
         )
         k = jnp.argmax(counts)
         better = counts[k] > best_count
@@ -82,6 +100,10 @@ def ransac_pair_step(
         best_T, best_count = refit_inliers(
             best_T, best_count, p_all, q_all, valid, thresh_sq
         )
+    # Un-shift: T_world = Shift(c0) . T_centered . Shift(-c0).
+    R_w = best_T[:3, :3]
+    t_w = best_T[:3, 3] + c0 - R_w @ c0
+    best_T = best_T.at[:3, 3].set(t_w)
     return best_T, best_count
 
 

@@ -32,6 +32,7 @@ def _nn(query, target, qmask, tmask):
         "icp_iterations",
         "icp_solves_per_nn",
         "mutual_filter",
+        "approx_score",
     ),
 )
 def fused_register_step(
@@ -52,6 +53,7 @@ def fused_register_step(
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 1,
     mutual_filter: bool = True,
+    approx_score: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -85,6 +87,7 @@ def fused_register_step(
         dist_thresh=dist_thresh,
         iterations=ransac_iterations,
         batch_size=ransac_batch,
+        approx_score=approx_score,
     )
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)

@@ -176,6 +176,7 @@ def sample_fit_score(
     *,
     edge_length_ratio: float | jax.Array = 0.9,
     use_checkers: bool = True,
+    approx_score: bool = False,
 ) -> tuple[PlanarR, PlanarT, jax.Array]:
     """Fit + checker + score one hypothesis chunk, planar end to end.
 
@@ -187,6 +188,11 @@ def sample_fit_score(
       thresh_sq: squared inlier threshold.
       edge_length_ratio: Open3D edge-length checker ratio (ransac.py:53).
       use_checkers: apply edge-length + distance checkers (ransac.py:53-55).
+      approx_score: run the [K, M] score matmul with bf16 inputs (fp32
+        accumulate) — ~3x fewer MXU passes.  Only sound on CENTERED
+        coordinates (caller's responsibility; see ransac_pair_step), and the
+        elected winner must be exactly re-counted (refit_inliers) since a
+        few borderline counts can flip.
 
     Returns:
       (R, t, counts): planar transforms and int32 inlier counts [K]; checker
@@ -201,7 +207,16 @@ def sample_fit_score(
     R, t, ok = fit3_frames(pa, pb, pc_, qa, qb, qc)
 
     H, e = hypothesis_features_planar(R, t)
-    d2 = H @ F.T + c[None, :] + e[:, None]  # [K, M] — the MXU term
+    if approx_score:
+        cross = jax.lax.dot_general(
+            H.astype(jnp.bfloat16),
+            F.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = H @ F.T
+    d2 = cross + c[None, :] + e[:, None]  # [K, M] — the MXU term
     hits = (d2 < thresh_sq) & valid[None, :]
     counts = jnp.sum(hits, axis=1, dtype=jnp.int32)
 
