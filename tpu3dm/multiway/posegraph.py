@@ -201,6 +201,7 @@ def register_multiway_batched(
     ransac_iterations: int = 4096,
     icp_iterations: int = 12,
     icp_solves_per_nn: int = 2,
+    approx_score: bool = True,
     mesh=None,
     checkpoint_dir: str | None = None,
 ) -> MultiwayResult:
@@ -273,6 +274,7 @@ def register_multiway_batched(
         min(int(ransac_iterations), 4096),
         int(icp_iterations),
         int(icp_solves_per_nn),
+        bool(approx_score),
         bool(config.ransac.mutual_filter),
     )
 
@@ -318,6 +320,7 @@ def _edges_runner(
     ransac_batch: int,
     icp_iterations: int,
     icp_solves_per_nn: int,
+    approx_score: bool,
     mutual_filter: bool,
 ):
     """Jitted all-edges registration step, cached by its static parameters.
@@ -336,6 +339,7 @@ def _edges_runner(
         ransac_batch=ransac_batch,
         icp_iterations=icp_iterations,
         icp_solves_per_nn=icp_solves_per_nn,
+        approx_score=approx_score,
         mutual_filter=mutual_filter,
     )
 

@@ -32,6 +32,7 @@ from tpu3dm.registration.fused import fused_register_step
         "ransac_iterations",
         "icp_iterations",
         "icp_solves_per_nn",
+        "approx_score",
     ),
 )
 def batched_register(
@@ -51,6 +52,7 @@ def batched_register(
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 1,
+    approx_score: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -72,5 +74,6 @@ def batched_register(
         ransac_batch=min(ransac_iterations, 4096),
         icp_iterations=icp_iterations,
         icp_solves_per_nn=icp_solves_per_nn,
+        approx_score=approx_score,
     )
     return jax.vmap(step)(*arrays)

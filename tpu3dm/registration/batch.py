@@ -47,11 +47,13 @@ logger = setup_logging(__name__)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ransac_iterations", "icp_iterations", "icp_solves_per_nn"),
+    static_argnames=(
+        "ransac_iterations", "icp_iterations", "icp_solves_per_nn", "approx_score"
+    ),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
-    *, ransac_iterations, icp_iterations, icp_solves_per_nn,
+    *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -65,6 +67,7 @@ def _batched_step(
             ransac_batch=min(ransac_iterations, 4096),
             icp_iterations=icp_iterations,
             icp_solves_per_nn=icp_solves_per_nn,
+            approx_score=approx_score,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -107,6 +110,7 @@ def register_pairs_batched(
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 2,
+    approx_score: bool = True,
 ) -> BatchResult:
     """Register many preprocessed pairs with capacity-bucketed dispatches.
 
@@ -169,6 +173,7 @@ def register_pairs_batched(
                 ransac_iterations=ransac_iterations,
                 icp_iterations=icp_iterations,
                 icp_solves_per_nn=icp_solves_per_nn,
+                approx_score=approx_score,
             )
 
     else:
@@ -181,6 +186,7 @@ def register_pairs_batched(
                 ransac_iterations=ransac_iterations,
                 icp_iterations=icp_iterations,
                 icp_solves_per_nn=icp_solves_per_nn,
+                approx_score=approx_score,
             )
 
     for cap, idxs in sorted(buckets.items()):
