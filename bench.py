@@ -62,6 +62,7 @@ def log(*a):
 
 
 def main() -> None:
+    t_start = time.time()
     import jax
 
     # NOTE: do NOT enable jax_compilation_cache_dir here.  On this axon
@@ -161,7 +162,16 @@ def main() -> None:
     )
 
     # --- secondary: distinct pairs (no CSE of the correspondence search) ----
+    # Time-budget guards: axon session establishment varies 30-460 s, and the
+    # driver runs this under a timeout — the headline JSON must ALWAYS print.
+    # Secondary phases only run while comfortably inside the budget.
+    distinct_pairs_per_sec = None
+    bucketed_pairs_per_sec = None
+    run_secondary = time.time() - t_start < 360.0
     dp = DISTINCT_PAIRS
+    if not run_secondary:
+        log("skipping secondary phases (time budget)")
+        return _emit(locals())
     raw = []
     for s in range(1, dp):
         sp, tp, _ = make_benchmark_pair(20_000, seed=s, sigma=0.01)
@@ -218,19 +228,101 @@ def main() -> None:
         f"{np.median(dtimes)*1e3:.2f} ms ({distinct_pairs_per_sec:.1f} pairs/s)"
     )
 
-    quality_ok = rot_err < 2.0 and rmse < 0.1
+    if time.time() - t_start > 450.0:
+        log("skipping bucketed phase (time budget)")
+        return _emit(locals())
+
+    # --- bucketed distinct pairs: the production capacity-bucketing story ---
+    # (registration/batch.py semantics, measured device-resident): each pair
+    # is COMPACTED to its valid points and re-padded to its own 128-quantum
+    # bucket instead of the batch max (batched ingest pads every cloud to the
+    # shared max, so .capacity cannot distinguish pairs); one dispatch per
+    # bucket, total time = sum over buckets.
+    from tpu3dm.core.cloud import round_up
+
+    def tight(pc):
+        m = np.asarray(pc.mask)
+        return (
+            np.asarray(pc.points)[m],
+            np.asarray(pc.features)[m],
+            np.asarray(pc.normals)[m],
+        )
+
+    tights = [(tight(s.down), tight(t.down)) for s, t in clouds]
+    buckets: dict[int, list] = {}
+    for tw in tights:
+        bcap = round_up(max(tw[0][0].shape[0], tw[1][0].shape[0]), 128)
+        buckets.setdefault(bcap, []).append(tw)
+    per_bucket = []
+    for bcap, btights in sorted(buckets.items()):
+        share = PAIR_BATCH * len(btights) // dp
+
+        def brows(which, what):
+            rows = []
+            for tw in btights:
+                a = tw[which][what]
+                rows.append(padto(a, bcap))
+            base = np.stack(rows)
+            r = -(-share // len(btights))
+            return jax.device_put(
+                np.tile(base, (r,) + (1,) * (base.ndim - 1))[:share]
+            )
+
+        def bmask(which):
+            rows = []
+            for tw in btights:
+                n = tw[which][0].shape[0]
+                m = np.zeros((bcap,), bool)
+                m[:n] = True
+                rows.append(m)
+            base = np.stack(rows)
+            r = -(-share // len(btights))
+            return jax.device_put(np.tile(base, (r, 1))[:share])
+
+        args = [brows(0, 0), brows(0, 1), bmask(0), brows(0, 2)]
+        args += [brows(1, 0), brows(1, 1), bmask(1), brows(1, 2)]
+        bkeys = jax.device_put(
+            np.asarray(jax.random.split(jax.random.PRNGKey(11 + bcap), share))
+        )
+        outb = batched_d(*args, bkeys)  # reuses the jit cache per (share, cap)
+        np.asarray(outb[1].ravel()[:4])
+        bt = []
+        for _ in range(3):
+            t0 = time.time()
+            outb = batched_d(*args, bkeys)
+            np.asarray(outb[1].ravel()[:4])
+            bt.append(time.time() - t0)
+        per_bucket.append((bcap, share, float(np.median(bt))))
+    total_t = sum(t for _, _, t in per_bucket)
+    total_p = sum(s for _, s, t in per_bucket)
+    bucketed_pairs_per_sec = total_p / total_t
+    log(
+        "bucketed distinct pairs "
+        + " + ".join(f"{s}@cap{c}:{t*1e3:.0f}ms" for c, s, t in per_bucket)
+        + f" -> {bucketed_pairs_per_sec:.1f} pairs/s"
+    )
+
+    return _emit(locals())
+
+
+def _emit(ns) -> None:
+    import jax
+
+    dps = ns.get("distinct_pairs_per_sec")
+    bps = ns.get("bucketed_pairs_per_sec")
     result = {
         "metric": "cloud_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 2),
+        "value": round(ns["pairs_per_sec"], 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-        "quality_ok": quality_ok,
-        "rot_err_deg": round(rot_err, 3),
-        "align_rmse": round(rmse, 4),
+        "vs_baseline": round(ns["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC, 2),
+        "quality_ok": ns["rot_err"] < 2.0 and ns["rmse"] < 0.1,
+        "rot_err_deg": round(ns["rot_err"], 3),
+        "align_rmse": round(ns["rmse"], 4),
         "ransac_hypotheses_per_pair": RANSAC_HYPOTHESES,
         "icp_iters_per_pair": ICP_ITERS,
-        "hypotheses_per_sec": round(hyps_per_sec),
-        "distinct_pairs_per_sec": round(distinct_pairs_per_sec, 2),
+        "hypotheses_per_sec": round(ns["hyps_per_sec"]),
+        "distinct_pairs_per_sec": round(dps, 2) if dps else None,
+        "distinct_pairs_bucketed_per_sec": round(bps, 2) if bps else None,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
