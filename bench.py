@@ -14,7 +14,8 @@ ICP iterations — strictly MORE work per pair than the 30-iteration reference
 path), vmapped over a batch of pairs to amortize host->TPU dispatch latency,
 and reports registered pairs per second on one chip.
 
-Two regimes are measured:
+Three regimes are measured (secondary phases skip under a time budget so
+the headline JSON always prints):
   - headline: ONE preprocessed pair registered PAIR_BATCH times with
     different RANSAC seeds — the reference benchmark's own semantics
     (benchmark_ransac.py re-registers the same pair per iteration).  XLA
@@ -22,6 +23,8 @@ Two regimes are measured:
   - distinct_pairs_per_sec: DISTINCT_PAIRS different preprocessed pairs,
     tiled to the batch as materialized arrays (batch dim defeats CSE) — the
     many-different-pairs production number.
+  - distinct_pairs_bucketed_per_sec: same pairs run at their own capacity
+    buckets (registration/batch.py semantics) instead of the batch max.
 """
 
 from __future__ import annotations
