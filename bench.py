@@ -59,13 +59,20 @@ PAIR_BATCH = 2048
 TIMED_REPS = 5
 DISTINCT_PAIRS = 8  # distinct preprocessed pairs for the secondary metric
 
+# Smoke-test overrides (CPU CI): the driver runs the defaults on real TPU.
+import os as _os
+
+PAIR_BATCH = int(_os.environ.get("TPU3DM_BENCH_BATCH", PAIR_BATCH))
+RANSAC_HYPOTHESES = int(_os.environ.get("TPU3DM_BENCH_HYPS", RANSAC_HYPOTHESES))
+TIMED_REPS = int(_os.environ.get("TPU3DM_BENCH_REPS", TIMED_REPS))
+_N_POINTS = int(_os.environ.get("TPU3DM_BENCH_POINTS", 20_000))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def main() -> None:
-    t_start = time.time()
     import jax
 
     # NOTE: do NOT enable jax_compilation_cache_dir here.  On this axon
@@ -89,11 +96,16 @@ def main() -> None:
     t0 = time.time()
     np.asarray(jax.device_put(np.ones(8, np.float32)))
     log(f"session warm-up: {time.time()-t0:.2f}s")
+    # Budget clock starts AFTER session establishment: warm-up is a fixed
+    # axon cost (measured 33-500 s) unrelated to the benchmark's own work,
+    # and counting it starved the secondary phases in round 1 (BENCH_r01:
+    # distinct_pairs null because warm-up alone ate the 360 s budget).
+    t_start = time.time()
 
     cfg = PipelineConfig.with_voxel_size(0.3)
 
     # Benchmark pair: dental-arch-like clouds, reference magnitude transform.
-    src_pts, tgt_pts, T_true = make_benchmark_pair(20_000, seed=0, sigma=0.01)
+    src_pts, tgt_pts, T_true = make_benchmark_pair(_N_POINTS, seed=0, sigma=0.01)
     t0 = time.time()
     src = preprocess_points(src_pts, cfg.preprocess)
     tgt = preprocess_points(tgt_pts, cfg.preprocess)
@@ -131,16 +143,25 @@ def main() -> None:
     np.asarray(out[1])  # real device fence (block_until_ready lies on axon)
     log(f"compile+first batch: {time.time()-t0:.2f}s")
 
-    # Quality gate: the benchmark only counts if registration actually works.
-    # Quality gate in NumPy: eager jnp math costs a remote compile per op.
-    T_est = np.asarray(out[0][0])
-    M = T_est[:3, :3] @ T_true[:3, :3].T
-    rot_err = float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+    # Quality gate over ALL lanes: every lane re-registers the same pair with
+    # a different RANSAC seed, so the gate must hold for the worst seed, not
+    # just lane 0 (round-1 verdict: 2047 of 2048 lanes were unchecked).
+    # NumPy on host: eager jnp math costs a remote compile per op.
+    T_all = np.asarray(out[0])  # [B, 4, 4]
+    M_all = T_all[:, :3, :3] @ T_true[:3, :3].T  # [B, 3, 3]
+    tr = np.clip((np.trace(M_all, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot_errs = np.degrees(np.arccos(tr))
+    worst = int(np.argmax(rot_errs))
+    rot_err = float(rot_errs[worst])
+    T_est = T_all[worst]
     moved = src_pts @ T_est[:3, :3].T + T_est[:3, 3]
     expect = src_pts @ T_true[:3, :3].T + T_true[:3, 3]
     rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
-    log(f"quality: rot_err={rot_err:.3f} deg, alignment rmse={rmse:.4f}, "
-        f"ransac_fitness={float(out[1][0]):.3f}")
+    fit_all = np.asarray(out[1])
+    fit_min = float(fit_all.min())
+    log(f"quality (worst of {PAIR_BATCH} lanes): rot_err={rot_err:.3f} deg, "
+        f"alignment rmse={rmse:.4f}, ransac_fitness min={fit_min:.3f} "
+        f"median={float(np.median(fit_all)):.3f}")
 
     # Pre-split all keys: eager jax.random ops inside the timed loop would
     # trigger remote compiles on first use.
@@ -176,9 +197,11 @@ def main() -> None:
         log("skipping secondary phases (time budget)")
         return _emit(locals())
     raw = []
+    t_trues = [T_true]
     for s in range(1, dp):
-        sp, tp, _ = make_benchmark_pair(20_000, seed=s, sigma=0.01)
+        sp, tp, tt = make_benchmark_pair(_N_POINTS, seed=s, sigma=0.01)
         raw.extend([sp, tp])
+        t_trues.append(tt)
     # Batched ingest: all remaining clouds' feature stages in ONE vmapped
     # dispatch (one compile) instead of 2*(dp-1) per-cloud dispatches.
     procs = preprocess_points_batch(raw, cfg.preprocess)
@@ -218,7 +241,15 @@ def main() -> None:
     batched_d = jax.jit(jax.vmap(step_d))
     dkeys = jax.device_put(np.asarray(jax.random.split(jax.random.PRNGKey(7), PAIR_BATCH)))
     out_d = batched_d(sp_, sf_, sm_, sn_, tp_, tf_, tm_, tn_, dkeys)
-    np.asarray(out_d[1].ravel()[:4])
+    # Per-lane quality over the distinct pairs: lane i registers pair i % dp.
+    Td_all = np.asarray(out_d[0])  # [B, 4, 4]
+    Ttrue_tiled = np.tile(np.stack(t_trues), (PAIR_BATCH // dp, 1, 1))
+    Md = Td_all[:, :3, :3] @ np.swapaxes(Ttrue_tiled[:, :3, :3], 1, 2)
+    trd = np.clip((np.trace(Md, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    distinct_rot_err_max = float(np.degrees(np.arccos(trd)).max())
+    log(f"distinct-pair quality: rot_err max over {PAIR_BATCH} lanes = "
+        f"{distinct_rot_err_max:.3f} deg, fitness min = "
+        f"{float(np.asarray(out_d[1]).min()):.3f}")
     dtimes = []
     for _ in range(3):
         t0 = time.time()
@@ -313,19 +344,23 @@ def _emit(ns) -> None:
 
     dps = ns.get("distinct_pairs_per_sec")
     bps = ns.get("bucketed_pairs_per_sec")
+    drem = ns.get("distinct_rot_err_max")
     result = {
         "metric": "cloud_pairs_per_sec_per_chip",
         "value": round(ns["pairs_per_sec"], 2),
         "unit": "pairs/s",
         "vs_baseline": round(ns["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC, 2),
+        # Gate holds for the WORST lane of the batch (rot_err/rmse are maxima).
         "quality_ok": ns["rot_err"] < 2.0 and ns["rmse"] < 0.1,
-        "rot_err_deg": round(ns["rot_err"], 3),
-        "align_rmse": round(ns["rmse"], 4),
+        "rot_err_deg_worst_lane": round(ns["rot_err"], 3),
+        "align_rmse_worst_lane": round(ns["rmse"], 4),
+        "ransac_fitness_min": round(ns["fit_min"], 3),
         "ransac_hypotheses_per_pair": RANSAC_HYPOTHESES,
         "icp_iters_per_pair": ICP_ITERS,
         "hypotheses_per_sec": round(ns["hyps_per_sec"]),
         "distinct_pairs_per_sec": round(dps, 2) if dps else None,
         "distinct_pairs_bucketed_per_sec": round(bps, 2) if bps else None,
+        "distinct_rot_err_deg_worst_lane": round(drem, 3) if drem is not None else None,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
