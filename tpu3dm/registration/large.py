@@ -131,9 +131,11 @@ def _icp_large_jit(
     def body(state):
         it, T, f_cur, r_cur, _ = state
         T_new, f_new, r_new = solve_step(T)
+        # Relative-change convergence (Open3D ICPConvergenceCriteria
+        # semantics, matching registration/icp.py).
         converged = (
-            (jnp.abs(f_new - f_cur) < 1e-6)
-            & (jnp.abs(r_new - r_cur) < 1e-6)
+            (jnp.abs(f_new - f_cur) < 1e-6 * jnp.maximum(f_new, 1e-12))
+            & (jnp.abs(r_new - r_cur) < 1e-6 * jnp.maximum(r_new, 1e-12))
             & (it > 0)
         )
         return it + 1, T_new, f_new, r_new, converged
@@ -260,6 +262,8 @@ def register_arrays_large(
     block: int = 512,
     w: int = 8,
     point_to_plane: bool = True,
+    mesh=None,
+    restarts: int = 4,
 ):
     """Full registration of two large raw clouds (100k-10M points).
 
@@ -270,6 +274,12 @@ def register_arrays_large(
     (``donor_normals``; exact O(N*k) normal estimation is intentionally
     skipped at this scale).  ``point_to_plane=False`` falls back to
     point-to-point.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``block`` axis switches the
+    full-resolution refinement to the sharded ring-NN ICP
+    (parallel/sharded_icp.py) — both clouds sharded over devices, psum'd
+    normal equations — for clouds one chip cannot hold (BASELINE config 4
+    at N chips).  ``mesh=None`` keeps the single-chip block-sparse kernel.
 
     Returns (RegistrationResult of the refinement, coarse RegistrationResult).
     """
@@ -289,7 +299,7 @@ def register_arrays_large(
 
     src_down, tgt_down = down(src_pts), down(tgt_pts)
     coarse = coarse_pose_with_verification(
-        src_down, tgt_down, config, key, restarts=4
+        src_down, tgt_down, config, key, restarts=restarts
     )
 
     # Point-to-plane polish on the downsampled clouds: point-to-point ICP
@@ -306,6 +316,29 @@ def register_arrays_large(
         max_iterations=config.icp.max_iterations,
         point_to_plane=True,
     )
+
+    if mesh is not None:
+        from tpu3dm.parallel.sharded_icp import icp_refine_sharded
+
+        nrm = None
+        if point_to_plane:
+            tgt_tmp = prepare_large_cloud(tgt_pts, block=block)
+            # donor_normals works on the KD-sorted order; un-sort back to the
+            # caller's point order for the sharded path.
+            sorted_nrm = np.asarray(donor_normals(tgt_tmp, tgt_down))
+            nrm = np.empty_like(sorted_nrm[: tgt_pts.shape[0]])
+            nrm[tgt_tmp.perm] = sorted_nrm[: tgt_pts.shape[0]]
+        fine = icp_refine_sharded(
+            mesh,
+            src_pts,
+            tgt_pts,
+            mid.transformation,
+            tgt_normals=nrm,
+            dist_thresh=config.icp.dist_thresh,
+            max_iterations=config.icp.max_iterations,
+            point_to_plane=point_to_plane,
+        )
+        return fine, coarse
 
     src = prepare_large_cloud(src_pts, block=block)
     tgt = prepare_large_cloud(tgt_pts, block=block)
