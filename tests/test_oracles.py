@@ -142,3 +142,155 @@ class TestNormalsVsPCA:
             n_ref = vecs[:, 0]
             cos = abs(float(ours[i] @ n_ref))
             assert cos > 0.99, (i, cos)
+
+
+# ---------------------------------------------------------------------------
+# FPFH vs an independent NumPy transcription of Open3D's Feature.cpp
+# ---------------------------------------------------------------------------
+
+
+def _o3d_pair_features(p1, n1, p2, n2):
+    """Literal loop transcription of Open3D ComputePairFeatures.
+
+    Returns (theta, alpha, phi, d).  Open3D's result vector is
+    (f0=theta, f1=alpha, f2=phi, f3=|dp|); the source/target swap rule picks
+    the normal with the smaller angle to the connecting line as the u-axis.
+    """
+    dp = p2 - p1
+    d = float(np.linalg.norm(dp))
+    if d == 0.0:
+        return 0.0, 0.0, 0.0, 0.0
+    n1c, n2c = n1.copy(), n2.copy()
+    angle1 = float(np.dot(n1c, dp)) / d
+    angle2 = float(np.dot(n2c, dp)) / d
+    if np.arccos(np.clip(abs(angle1), 0, 1)) > np.arccos(np.clip(abs(angle2), 0, 1)):
+        n1c, n2c = n2.copy(), n1.copy()
+        dp = -dp
+        phi = -angle2
+    else:
+        phi = angle1
+    v = np.cross(dp, n1c)
+    v_norm = float(np.linalg.norm(v))
+    if v_norm == 0.0:
+        return 0.0, 0.0, 0.0, d
+    v = v / v_norm
+    w = np.cross(n1c, v)
+    alpha = float(np.dot(v, n2c))
+    theta = float(np.arctan2(np.dot(w, n2c), np.dot(n1c, n2c)))
+    return theta, alpha, phi, d
+
+
+def fpfh_oracle(points, normals, radius, max_nn):
+    """Independent NumPy FPFH: Open3D Feature.cpp semantics, loop-based.
+
+    Hybrid search = the max_nn nearest points within radius INCLUDING self
+    (skipped in the loops like Open3D's k=0 entry); SPFH hit weight
+    100/(neighbour count); FPFH = (neighbour SPFH sum weighted by 1/d^2,
+    each 11-bin subhistogram normalised to 100) + self SPFH.
+    """
+    n = len(points)
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    r2 = radius * radius
+    neigh = []
+    for i in range(n):
+        order = np.argsort(d2[i], kind="stable")
+        sel = [j for j in order if d2[i, j] <= r2][:max_nn]
+        neigh.append([j for j in sel if d2[i, j] > 0.0])
+
+    spfh = np.zeros((n, 33))
+    for i in range(n):
+        if not neigh[i]:
+            continue
+        incr = 100.0 / len(neigh[i])
+        for j in neigh[i]:
+            theta, alpha, phi, _ = _o3d_pair_features(
+                points[i], normals[i], points[j], normals[j]
+            )
+            h = min(max(int(np.floor(11 * (theta + np.pi) / (2 * np.pi))), 0), 10)
+            spfh[i, h] += incr
+            h = min(max(int(np.floor(11 * (alpha + 1.0) * 0.5)), 0), 10)
+            spfh[i, 11 + h] += incr
+            h = min(max(int(np.floor(11 * (phi + 1.0) * 0.5)), 0), 10)
+            spfh[i, 22 + h] += incr
+
+    fpfh = np.zeros((n, 33))
+    for i in range(n):
+        acc = np.zeros(33)
+        for j in neigh[i]:
+            acc += spfh[j] / d2[i, j]
+        for s in range(3):
+            ssum = acc[11 * s : 11 * s + 11].sum()
+            if ssum != 0.0:
+                acc[11 * s : 11 * s + 11] *= 100.0 / ssum
+        fpfh[i] = acc + spfh[i]
+    return fpfh
+
+
+class TestFpfhVsOracle:
+    """SURVEY §7.3 gate: FPFH matches an Open3D-derived oracle (VERDICT r1
+    item 2 — the one hot kernel that had no third-party check)."""
+
+    @pytest.mark.parametrize("seed,max_nn", [(0, 100), (1, 20), (2, 7)])
+    def test_capped_fpfh_matches_oracle(self, seed, max_nn):
+        import jax.numpy as jnp
+
+        from tpu3dm.core.cloud import from_numpy
+        from tpu3dm.io.synthetic import dental_arch_cloud
+        from tpu3dm.preprocess.fpfh import compute_fpfh_capped
+
+        pts = dental_arch_cloud(300, seed=seed).astype(np.float32)
+        rng = np.random.default_rng(seed + 10)
+        nrm = rng.standard_normal((300, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        radius = 1.5
+
+        pc = from_numpy(pts)
+        nrm_pad = np.zeros((pc.points.shape[0], 3), np.float32)
+        nrm_pad[: pts.shape[0]] = nrm
+        pc = pc.with_(normals=jnp.asarray(nrm_pad))
+        got = np.asarray(
+            compute_fpfh_capped(pc, radius, max_nn=max_nn).features
+        )[: pts.shape[0]]
+        want = fpfh_oracle(
+            pts.astype(np.float64), nrm.astype(np.float64), radius, max_nn
+        )
+        # fp32 (device) vs fp64 (oracle) angle computation flips a handful of
+        # bin assignments right at bin boundaries: each flip moves one
+        # hist_incr (=100/k) between adjacent bins.  Verified: neighbour sets
+        # are IDENTICAL; only boundary bins differ.  Require exactness for
+        # >=99.5% of histogram entries and a tiny mean deviation.
+        d = np.abs(got - want)
+        assert (d > 0.35).mean() < 0.005, f"{(d > 0.35).sum()} entries off"
+        assert d.mean() < 0.02
+        # Histograms are far from trivial: each sub-histogram of a point with
+        # neighbours sums to ~200 (100 self + 100 normalised neighbour sum).
+        sums = want.reshape(-1, 3, 11).sum(axis=2)
+        assert np.isclose(sums[sums > 1].mean(), 200.0, atol=1.0)
+
+    def test_capped_normals_match_knn_pca(self):
+        """estimate_normals_capped == PCA over the k nearest in-radius
+        neighbours (self included), per-point NumPy."""
+        import jax.numpy as jnp  # noqa: F401
+
+        from tpu3dm.core.cloud import from_numpy
+        from tpu3dm.io.synthetic import dental_arch_cloud
+        from tpu3dm.preprocess.normals import estimate_normals_capped
+
+        pts = dental_arch_cloud(400, seed=3).astype(np.float32)
+        radius, k = 0.8, 12
+        pc = estimate_normals_capped(from_numpy(pts), radius, max_nn=k)
+        got = np.asarray(pc.normals)[: pts.shape[0]]
+
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        centroid = pts.mean(axis=0)
+        for i in range(0, 400, 17):
+            order = np.argsort(d2[i], kind="stable")
+            sel = [j for j in order if d2[i, j] <= radius * radius][:k]
+            nb = pts[sel]
+            cov = np.cov(nb.T, bias=True)
+            evals, evecs = np.linalg.eigh(cov)
+            want = evecs[:, 0]
+            if np.dot(want, pts[i] - centroid) < 0:
+                want = -want
+            dot = abs(float(np.dot(got[i], want)))
+            assert dot > 0.99, f"point {i}: |cos| = {dot}"

@@ -140,6 +140,39 @@ class TestRansac:
         assert int(res.iterations) <= 1024
         assert float(res.fitness) > 0.99
 
+    def test_early_stop_disabled_runs_full_budget(self):
+        """early_stop=False (reference early_stop_enabled,
+        _visualize_matcher.py:163) must spend the entire hypothesis budget."""
+        p, q, T = self._make_corres(500, 0.0, seed=1)
+        res = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(500, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=4096, batch_size=512,
+            early_stop=False,
+        )
+        assert int(res.iterations) == 4096
+
+    def test_early_stop_min_fitness_floor(self):
+        """The confidence stop may not trigger below the fitness floor
+        (reference early_stop_threshold): with half the correspondences
+        corrupted, best fitness ~0.5 < 0.9 floor -> full budget."""
+        p, q, T = self._make_corres(500, 0.5, seed=2)
+        res = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(500, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=4096, batch_size=512,
+            early_stop_min_fitness=0.9,
+        )
+        assert int(res.iterations) == 4096
+        # ...and a floor below the achieved fitness still allows the stop.
+        res2 = ransac_from_correspondences(
+            jnp.asarray(p), jnp.asarray(q), jnp.ones(500, bool),
+            jax.random.PRNGKey(0),
+            dist_thresh=0.1, max_iterations=65536, batch_size=512,
+            early_stop_min_fitness=0.2,
+        )
+        assert int(res2.iterations) < 65536
+
     def test_zero_valid_correspondences(self):
         """Reference zero-correspondence test (test_ransac_crash.py:198-224):
         identity fallback, fitness 0, no crash."""

@@ -213,6 +213,84 @@ def run_comprehensive_benchmark(
     return report
 
 
+def run_fpfh_ab_benchmark(
+    *,
+    n_points: int = 12_000,
+    seeds: tuple[int, ...] = (0, 1, 2),
+    voxel_size: float = 0.3,
+    out_json: str = "benchmark_fpfh_ab.json",
+) -> dict:
+    """A/B: capped (Open3D-parity, max_nn 30/100) vs uncapped feature paths.
+
+    VERDICT r1 item 2 asked for the registration-fitness comparison between
+    the reference's hybrid-search caps (ply.py:110-120) and the uncapped
+    all-radius-neighbours fast path.  Reports RANSAC fitness, final rotation
+    error, and preprocess wall time for both configurations over several
+    synthetic pairs.
+    """
+    import dataclasses
+
+    from tpu3dm.registration.pipeline import register_pair
+
+    results = {}
+    for label, (n_cap, f_cap) in (
+        ("capped", (30, 100)),
+        ("uncapped", (0, 0)),
+    ):
+        cfg = PipelineConfig.with_voxel_size(voxel_size)
+        cfg = dataclasses.replace(
+            cfg,
+            preprocess=dataclasses.replace(
+                cfg.preprocess, normal_max_nn=n_cap, fpfh_max_nn=f_cap
+            ),
+        )
+        rows = []
+        for seed in seeds:
+            src_pts, tgt_pts, T_true = make_benchmark_pair(
+                n_points, seed=seed, sigma=0.01
+            )
+            t0 = time.time()
+            src = preprocess_points(src_pts, cfg.preprocess)
+            tgt = preprocess_points(tgt_pts, cfg.preprocess)
+            np.asarray(src.down.features)  # fence
+            t_pre = time.time() - t0
+            out = register_pair(src, tgt, cfg)
+            T = np.asarray(out.icp.transformation)
+            M = T[:3, :3] @ T_true[:3, :3].T
+            rot = float(
+                np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+            )
+            rows.append(
+                {
+                    "seed": seed,
+                    "ransac_fitness": round(float(out.ransac.fitness), 4),
+                    "icp_fitness": round(float(out.icp.fitness), 4),
+                    "rot_err_deg": round(rot, 4),
+                    "preprocess_s": round(t_pre, 3),
+                }
+            )
+        results[label] = rows
+        logger.info(
+            "%s: ransac fitness %s, rot err %s deg",
+            label,
+            [r["ransac_fitness"] for r in rows],
+            [r["rot_err_deg"] for r in rows],
+        )
+    report = {
+        "benchmark": "fpfh_capped_vs_uncapped",
+        "n_points": n_points,
+        "voxel_size": voxel_size,
+        "configs": {
+            "capped": {"normal_max_nn": 30, "fpfh_max_nn": 100},
+            "uncapped": {"normal_max_nn": 0, "fpfh_max_nn": 0},
+        },
+        "results": results,
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info("wrote %s", out_json)
+    return report
+
+
 def run_hypothesis_sweep(
     source: str | None,
     target: str | None,
@@ -628,6 +706,12 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         "--scaling-points", type=int, default=20_000,
         help="points per cloud for --scaling",
     )
+    ap.add_argument(
+        "--fpfh-ab",
+        action="store_true",
+        help="A/B the capped (Open3D-parity max_nn) vs uncapped feature "
+        "paths: RANSAC fitness + rotation error per config",
+    )
 
 
 def main(argv=None) -> int:
@@ -659,6 +743,12 @@ def main(argv=None) -> int:
             n_points=args.scaling_points,
             out_json=out,
         )
+        return 0
+    if args.fpfh_ab:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_fpfh_ab.json"
+        run_fpfh_ab_benchmark(voxel_size=args.voxel_size, out_json=out)
         return 0
     if args.sweep:
         out = args.out_json

@@ -20,8 +20,11 @@ class PreprocessConfig:
 
     voxel_size: float = 0.3  # ply.py:32
     normal_radius_mult: float = 2.0  # ply.py:111 (radius = 2 * voxel)
-    normal_max_nn: int = 30  # ply.py:111
     fpfh_radius_mult: float = 5.0  # ply.py:119 (radius = 5 * voxel)
+    # Hybrid-search caps (k nearest within radius, Open3D
+    # KDTreeSearchParamHybrid semantics — ply.py:110-120).  0 selects the
+    # uncapped all-radius-neighbours fast paths (documented deviation).
+    normal_max_nn: int = 30  # ply.py:111
     fpfh_max_nn: int = 100  # ply.py:119
     # The reference *always* injects Gaussian noise sigma=0.05 into the
     # downsampled cloud (ply.py:59-62).  Here it is opt-in (SURVEY.md §0).
@@ -53,9 +56,14 @@ class RansacConfig:
     use_checkers: bool = True
     # Batched execution: hypotheses fitted+scored per device dispatch.
     batch_size: int = 4096
-    # Early stop (GUI-loop semantics, _visualize_matcher.py:163-167,432-450):
+    # Early stop (GUI-loop semantics, _visualize_matcher.py:163-167,432-450),
+    # consumed by ransac_from_correspondences / global_registration.  The
+    # fused single-dispatch path (registration/fused.py) is fixed-budget by
+    # design: its hypothesis count is a static compile-time constant so the
+    # whole register step stays one branch-free device program.
     early_stop_enabled: bool = True
     early_stop_min_fitness: float = 0.0  # score floor before early stop applies
+    # (reference ``early_stop_threshold``, default 0.5 in the GUI)
     # Correspondence noise injection for robustness testing (ransac.py:89-99):
     noise_ratio: float = 0.0
 

@@ -16,10 +16,20 @@ radius = 5 * voxel).  Implements Rusu's FPFH:
   — the weighted neighbour sum is a masked [N, N] x [N, 33] matmul, i.e. MXU
   work, computed blockwise so the pairwise matrices never hit HBM.
 
-Deviation from Open3D (documented): no max_nn=100 cap — all radius neighbours
-contribute (the cap is a KDTree cost bound; dropping it only sharpens the
-histograms).  Matching quality is what registration consumes, and both clouds
-are processed identically, so self-consistency is what matters.
+Two implementations:
+
+  - ``compute_fpfh_capped`` (production default, PreprocessConfig.fpfh_max_nn
+    = 100): Open3D-exact semantics — hybrid search (k nearest within radius,
+    reference ply.py:117-120), the PCL source/target swap rule per pair, bin
+    order (theta | alpha | phi), neighbour weighting by 1 / SQUARED distance,
+    and per-subhistogram normalisation of the neighbour sum to 100 before
+    adding the self-SPFH.  Validated against an independent NumPy
+    transcription of Open3D's Feature.cpp in tests/test_oracles.py.
+  - ``compute_fpfh`` (uncapped fast path, fpfh_max_nn=0): blockwise
+    all-radius-neighbours variant in the classic Rusu formulation (1/|d|
+    weight, 1/k normalisation, alpha|phi|theta bin order, no swap rule).
+    Documented deviation: no max_nn cap (a KDTree cost bound, not an accuracy
+    feature); self-consistent across clouds, which is what matching consumes.
 """
 
 from __future__ import annotations
@@ -150,4 +160,105 @@ def compute_fpfh(
     )
     fpfh = spfh + wsum / k[:, None]
     fpfh = jnp.where(mask[:, None], fpfh, 0.0)
+    return pc.with_(features=fpfh)
+
+
+def _pair_features(qp, qn, pj, nj, dp, dist, nb):
+    """Open3D/PCL pair features with the source/target swap rule.
+
+    Transcription of Feature.cpp ComputePairFeatures semantics (vectorized):
+    the normal with the SMALLER angle to the connecting line becomes the
+    Darboux u-axis; returns (theta, alpha, phi) in Open3D's result order.
+    qp/qn: [N, 3] query point/normal; pj/nj: [N, K, 3] neighbours;
+    dp = pj - qp[:, None]; dist = |dp|; nb: [N, K] neighbour validity.
+    """
+    safe_dist = jnp.maximum(dist, _EPS)
+    ni = jnp.broadcast_to(qn[:, None, :], pj.shape)
+    angle1 = jnp.sum(ni * dp, axis=-1) / safe_dist
+    angle2 = jnp.sum(nj * dp, axis=-1) / safe_dist
+    # acos(|a1|) > acos(|a2|)  <=>  |a1| < |a2|  -> swap
+    swap = jnp.abs(angle1) < jnp.abs(angle2)
+    n1 = jnp.where(swap[..., None], nj, ni)
+    n2 = jnp.where(swap[..., None], ni, nj)
+    dpe = jnp.where(swap[..., None], -dp, dp)
+    phi = jnp.where(swap, -angle2, angle1)
+
+    v = jnp.cross(dpe, n1)
+    v_norm = jnp.linalg.norm(v, axis=-1)
+    degenerate = v_norm < _EPS
+    vh = v / jnp.maximum(v_norm, _EPS)[..., None]
+    w = jnp.cross(n1, vh)
+    alpha = jnp.sum(vh * n2, axis=-1)
+    theta = jnp.arctan2(jnp.sum(w * n2, axis=-1), jnp.sum(n1 * n2, axis=-1))
+    # Degenerate pairs (dp parallel to u): Open3D returns all-zero features,
+    # which still bin (at the centre slots).
+    zero = jnp.zeros_like(phi)
+    theta = jnp.where(degenerate, zero, theta)
+    alpha = jnp.where(degenerate, zero, alpha)
+    phi = jnp.where(degenerate, zero, phi)
+    return theta, alpha, phi
+
+
+@functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
+def compute_fpfh_capped(
+    pc: PointCloud,
+    radius: jax.Array | float,
+    *,
+    max_nn: int = 100,
+    chunk: int = 1024,
+) -> PointCloud:
+    """33-D FPFH with Open3D-exact semantics and the max_nn neighbour cap.
+
+    Matches ``o3d.pipelines.registration.compute_fpfh_feature`` with
+    ``KDTreeSearchParamHybrid(radius, max_nn)`` (reference: ply.py:117-120).
+    Requires normals.
+    """
+    from tpu3dm.ops.topk import nn_topk
+
+    pts = jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL)
+    nrm = pc.normals
+    n = pts.shape[0]
+
+    # Hybrid search: k nearest within radius, self included as the d2=0 hit
+    # (Open3D iterates neighbours from k=1); cap k at max_nn like Open3D.
+    d2, idx, valid = nn_topk(
+        pts, pts, pc.mask, pc.mask, k=min(max_nn, n), radius=radius, chunk=chunk
+    )
+    nb = valid & (d2 > _EPS)  # true neighbours: in radius, not self
+
+    pj = pts[idx]
+    njn = nrm[idx]
+    dp = pj - pts[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    theta, alpha, phi = _pair_features(pts, nrm, pj, njn, dp, dist, nb)
+
+    cnt = jnp.sum(nb.astype(jnp.float32), axis=1)  # indices.size() - 1
+    hist_incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
+
+    iota = jnp.arange(_NBINS, dtype=jnp.int32)
+
+    def hist11(x, lo, hi):
+        b = jnp.floor((x - lo) / (hi - lo) * _NBINS).astype(jnp.int32)
+        b = jnp.clip(b, 0, _NBINS - 1)
+        onehot = (b[..., None] == iota).astype(jnp.float32)
+        return jnp.einsum("nk,nkb->nb", nb.astype(jnp.float32), onehot)
+
+    # Open3D bin order: theta -> slots 0-10, alpha -> 11-21, phi -> 22-32.
+    spfh = jnp.concatenate(
+        [
+            hist11(theta, -jnp.pi, jnp.pi),
+            hist11(alpha, -1.0, 1.0),
+            hist11(phi, -1.0, 1.0),
+        ],
+        axis=1,
+    ) * hist_incr[:, None]
+
+    # FPFH pass: neighbour SPFHs weighted by 1/d^2, each 11-bin subhistogram
+    # normalised to sum 100, plus the self-SPFH (Feature.cpp semantics).
+    wgt = jnp.where(nb, 1.0 / jnp.maximum(d2, _EPS), 0.0)  # [N, K]
+    acc = jnp.einsum("nk,nkj->nj", wgt, spfh[idx])
+    sub = acc.reshape(n, 3, _NBINS).sum(axis=2)  # [N, 3]
+    scale = jnp.where(sub > 0, 100.0 / jnp.maximum(sub, _EPS), 0.0)
+    fpfh = acc * jnp.repeat(scale, _NBINS, axis=1) + spfh
+    fpfh = jnp.where(pc.mask[:, None], fpfh, 0.0)
     return pc.with_(features=fpfh)

@@ -180,3 +180,46 @@ def estimate_normals(
     v = jnp.where(flip[:, None], -v, v)
     v = jnp.where(pc.mask[:, None], v, 0.0)
     return pc.with_(normals=v)
+
+
+@functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
+def estimate_normals_capped(
+    pc: PointCloud,
+    radius: jax.Array | float,
+    *,
+    max_nn: int = 30,
+    chunk: int = 1024,
+) -> PointCloud:
+    """Normals from the max_nn NEAREST neighbours within the radius.
+
+    Open3D ``KDTreeSearchParamHybrid(radius, max_nn)`` semantics (reference:
+    ply.py:110-112, max_nn=30): the covariance is over the k nearest in-radius
+    points (self included), not the full radius set.  Orientation matches
+    ``estimate_normals`` (outward from the cloud centroid).
+    """
+    from tpu3dm.ops.topk import nn_topk
+
+    n = pc.points.shape[0]
+    d2, idx, valid = nn_topk(
+        jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL),
+        jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL),
+        pc.mask,
+        pc.mask,
+        k=min(max_nn, n),
+        radius=radius,
+        chunk=chunk,
+    )
+    pj = pc.points[idx]  # [N, K, 3]
+    w = valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.einsum("nk,nkd->nd", w, pj) / cnt[:, None]
+    c = pj - mean[:, None, :]
+    c = c * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
+    _, v = smallest_eigvec_sym3(cov)
+    ctr = pc.centroid()
+    outward = pc.points - ctr[None, :]
+    flip = jnp.sum(v * outward, axis=1) < 0.0
+    v = jnp.where(flip[:, None], -v, v)
+    v = jnp.where(pc.mask[:, None], v, 0.0)
+    return pc.with_(normals=v)

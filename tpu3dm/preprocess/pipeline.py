@@ -31,8 +31,8 @@ import numpy as np
 from tpu3dm.core.cloud import PointCloud, from_numpy
 from tpu3dm.core.config import PreprocessConfig
 from tpu3dm.io.ply import read_ply
-from tpu3dm.preprocess.fpfh import compute_fpfh
-from tpu3dm.preprocess.normals import estimate_normals
+from tpu3dm.preprocess.fpfh import compute_fpfh, compute_fpfh_capped
+from tpu3dm.preprocess.normals import estimate_normals, estimate_normals_capped
 from tpu3dm.preprocess.voxel import voxel_downsample_host
 from tpu3dm.utils.logging import setup_logging
 
@@ -51,30 +51,51 @@ class ProcessedCloud:
     path: Path | None = None
 
 
-@jax.jit
-def _features_device(
+def _features_impl(
     down: PointCloud,
     full: PointCloud,
     normal_radius: jax.Array,
     fpfh_radius: jax.Array,
+    *,
+    normal_max_nn: int,
+    fpfh_max_nn: int,
 ) -> tuple[PointCloud, PointCloud]:
     """Down-cloud normals + FPFH and full-cloud normals in ONE dispatch.
 
     Each separate jitted call is a full remote round trip on the axon stack
     (~1.5 s/call measured warm); fusing the three feature stages into one
     compiled program pays one round trip per cloud instead of three.
+
+    max_nn > 0 selects the Open3D-parity capped paths (hybrid search
+    semantics, reference ply.py:110-120); 0 selects the uncapped
+    all-radius-neighbours fast paths.
     """
-    down = estimate_normals(down, normal_radius)
-    down = compute_fpfh(down, fpfh_radius)
-    full = estimate_normals(full, normal_radius)
+    if normal_max_nn > 0:
+        down = estimate_normals_capped(down, normal_radius, max_nn=normal_max_nn)
+        full = estimate_normals_capped(full, normal_radius, max_nn=normal_max_nn)
+    else:
+        down = estimate_normals(down, normal_radius)
+        full = estimate_normals(full, normal_radius)
+    if fpfh_max_nn > 0:
+        down = compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn)
+    else:
+        down = compute_fpfh(down, fpfh_radius)
     return down, full
 
 
-# Module-level so the jit executable cache persists across calls — a wrapper
-# built inside preprocess_points_batch would recompile on every invocation.
-_features_device_batched = jax.jit(
-    jax.vmap(_features_device, in_axes=(0, 0, None, None))
+_features_device = jax.jit(
+    _features_impl, static_argnames=("normal_max_nn", "fpfh_max_nn")
 )
+
+
+# Module-level cache so jit executables persist across calls — a wrapper
+# built inside preprocess_points_batch would recompile on every invocation.
+@functools.lru_cache(maxsize=None)
+def _features_device_batched(normal_max_nn: int, fpfh_max_nn: int):
+    fn = functools.partial(
+        _features_impl, normal_max_nn=normal_max_nn, fpfh_max_nn=fpfh_max_nn
+    )
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, None, None)))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -106,6 +127,8 @@ def preprocess_points(
             full,
             jnp.float32(config.normal_radius),
             jnp.float32(config.fpfh_radius),
+            normal_max_nn=config.normal_max_nn,
+            fpfh_max_nn=config.fpfh_max_nn,
         )
 
     if config.noise_sigma > 0.0:
@@ -152,6 +175,8 @@ def preprocess_points_batch(
     full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
 
     down_b, full_b = _features_device_batched(
+        config.normal_max_nn, config.fpfh_max_nn
+    )(
         down_in,
         full_in,
         jnp.float32(config.normal_radius),

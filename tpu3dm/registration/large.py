@@ -284,8 +284,8 @@ def register_arrays_large(
     Returns (RegistrationResult of the refinement, coarse RegistrationResult).
     """
     from tpu3dm.core.config import PipelineConfig
-    from tpu3dm.preprocess.fpfh import compute_fpfh
-    from tpu3dm.preprocess.normals import estimate_normals
+    from tpu3dm.preprocess.fpfh import compute_fpfh, compute_fpfh_capped
+    from tpu3dm.preprocess.normals import estimate_normals, estimate_normals_capped
     from tpu3dm.preprocess.voxel import voxel_downsample_host
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
@@ -294,8 +294,14 @@ def register_arrays_large(
 
     def down(pts):
         d = voxel_downsample_host(pts, config.preprocess.voxel_size)
-        d = estimate_normals(d, config.preprocess.normal_radius)
-        return compute_fpfh(d, config.preprocess.fpfh_radius)
+        pp = config.preprocess
+        if pp.normal_max_nn > 0:
+            d = estimate_normals_capped(d, pp.normal_radius, max_nn=pp.normal_max_nn)
+        else:
+            d = estimate_normals(d, pp.normal_radius)
+        if pp.fpfh_max_nn > 0:
+            return compute_fpfh_capped(d, pp.fpfh_radius, max_nn=pp.fpfh_max_nn)
+        return compute_fpfh(d, pp.fpfh_radius)
 
     src_down, tgt_down = down(src_pts), down(tgt_pts)
     coarse = coarse_pose_with_verification(

@@ -83,7 +83,10 @@ def _edge_length_ok(ps: jax.Array, qs: jax.Array, ratio: float) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "batch_size", "use_checkers", "refit")
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "batch_size", "use_checkers", "refit", "early_stop"
+    ),
 )
 def ransac_from_correspondences(
     p_all: jax.Array,
@@ -98,6 +101,8 @@ def ransac_from_correspondences(
     edge_length_ratio: float | jax.Array = 0.9,
     use_checkers: bool = True,
     refit: bool = True,
+    early_stop: bool = True,
+    early_stop_min_fitness: float | jax.Array = 0.0,
 ) -> RegistrationResult:
     """Run batched RANSAC over a fixed correspondence set.
 
@@ -106,6 +111,11 @@ def ransac_from_correspondences(
       valid: [M] correspondence validity mask.
       key: PRNG key.
       dist_thresh: inlier distance threshold (reference: 1.5 * voxel).
+      early_stop: apply the theoretical confidence stop between hypothesis
+        chunks (reference GUI semantics, _visualize_matcher.py:163-167);
+        False runs the full max_iterations budget unconditionally.
+      early_stop_min_fitness: fitness floor before the confidence stop may
+        trigger (reference ``early_stop_threshold``).
 
     Returns:
       RegistrationResult with fitness = inliers / valid-correspondences
@@ -116,6 +126,7 @@ def ransac_from_correspondences(
     thresh = jnp.asarray(dist_thresh, jnp.float32)
     thresh_sq = thresh * thresh
     conf = jnp.asarray(confidence, jnp.float32)
+    min_fit = jnp.asarray(early_stop_min_fitness, jnp.float32)
 
     # Compact valid correspondences to the front so index sampling is uniform
     # over real pairs (sort-free: ops/compact.py).
@@ -137,12 +148,16 @@ def ransac_from_correspondences(
         w3 = jnp.clip(w**3, 1e-12, 1.0 - 1e-7)
         req = jnp.log1p(-conf) / jnp.log1p(-w3)
         return jnp.where(
-            w < 0.01, jnp.float32(max_iterations), jnp.minimum(req, max_iterations)
+            (w < 0.01) | (w < min_fit),
+            jnp.float32(max_iterations),
+            jnp.minimum(req, max_iterations),
         )
 
     def cond(state):
         chunk_i, _, best_count, _ = state
         done_budget = chunk_i >= n_chunks
+        if not early_stop:
+            return ~done_budget
         done_conf = (chunk_i * batch_size) >= required_iters(best_count)
         return ~(done_budget | done_conf)
 
@@ -348,6 +363,8 @@ def global_registration(
         confidence=config.confidence,
         edge_length_ratio=config.edge_length_ratio,
         use_checkers=config.use_checkers,
+        early_stop=config.early_stop_enabled,
+        early_stop_min_fitness=config.early_stop_min_fitness,
     )
 
 
