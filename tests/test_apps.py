@@ -39,6 +39,28 @@ def test_cli_register_files(small_pair_files, tmp_path, capsys):
     assert "canvas" in html and "DATA" in html
 
 
+def test_cli_register_large_honors_flags(small_pair_files, tmp_path, capsys):
+    """--large must honor --out-ply/--out-html/--restarts (VERDICT r1 item 8:
+    these flags were silently dropped on the large path)."""
+    from tpu3dm.apps.cli import main
+
+    src, tgt, T = small_pair_files
+    rc = main([
+        "register", str(src), str(tgt), "--large", "--restarts", "1",
+        "--out-ply", str(tmp_path / "lg.ply"),
+        "--out-html", str(tmp_path / "lg.html"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["path"] == "large"
+    assert out["icp"]["fitness"] > 0.8
+    T_est = np.asarray(out["transformation"])
+    np.testing.assert_allclose(T_est[:3, :3], T[:3, :3], atol=0.05)
+    data = read_ply(tmp_path / "lg.ply")
+    assert "colors" in data
+    assert "canvas" in (tmp_path / "lg.html").read_text()
+
+
 def test_cli_convert_stl(tmp_path):
     import struct
 

@@ -69,7 +69,9 @@ def _cmd_register(args) -> int:
         from tpu3dm.registration.large import register_arrays_large
 
         fine, coarse = register_arrays_large(
-            np.asarray(s), np.asarray(t), cfg, key=jax.random.PRNGKey(args.seed)
+            np.asarray(s), np.asarray(t), cfg,
+            key=jax.random.PRNGKey(args.seed),
+            restarts=args.restarts,
         )
         T = np.asarray(fine.transformation)
         print(json.dumps({
@@ -82,6 +84,26 @@ def _cmd_register(args) -> int:
             "transformation": T.tolist(),
             "path": "large",
         }, indent=2))
+        if args.out_ply or args.out_html:
+            # Export views of the voxel-downsampled clouds: a 1M+ point HTML
+            # scene is unusable, and the reference viewer also draws the
+            # downsampled clouds (draw_registration_result.py:33-34).
+            from tpu3dm.preprocess.voxel import voxel_downsample_host
+
+            sd = voxel_downsample_host(np.asarray(s), cfg.preprocess.voxel_size)
+            td = voxel_downsample_host(np.asarray(t), cfg.preprocess.voxel_size)
+            if args.out_ply:
+                export_registration_ply(args.out_ply, sd, td, T)
+                logger.info("wrote %s", args.out_ply)
+            if args.out_html:
+                export_registration_html(
+                    args.out_html, sd, td, T,
+                    info=(
+                        f"fitness={float(fine.fitness):.3f} "
+                        f"rmse={float(fine.inlier_rmse):.4f} (large path)"
+                    ),
+                )
+                logger.info("wrote %s", args.out_html)
         return 0
 
     src = preprocess_points(np.asarray(s), cfg.preprocess)
@@ -199,17 +221,45 @@ def _cmd_register_batch(args) -> int:
             if len(pp) != 2:
                 raise ValueError(f"manifest line needs 2 paths, got: {pp}")
 
-    # One batched ingest for every distinct cloud file.
-    uniq = sorted({p for pair in pair_paths for p in pair})
+    store = None
+    pair_names = None
+    if args.checkpoint_dir:
+        from tpu3dm.multiway.checkpoint import CheckpointStore
+
+        store = CheckpointStore(args.checkpoint_dir)
+        pair_names = [f"{a}\t{b}" for a, b in pair_paths]
+        store.write_manifest(
+            kind="register-batch", n_pairs=len(pair_paths),
+            voxel_size=args.voxel_size, seed=args.seed,
+        )
+        # Skip ingest for clouds only needed by already-completed pairs.
+        pending = {
+            p
+            for (a, b), name in zip(pair_paths, pair_names)
+            if store.get_pair(name) is None
+            for p in (a, b)
+        }
+    else:
+        pending = {p for pair in pair_paths for p in pair}
+
+    # One batched ingest for every distinct cloud file still needed.
+    uniq = sorted(pending)
     raw = [read_ply(p)["points"] for p in uniq]
     procs = dict(zip(uniq, preprocess_points_batch(raw, cfg.preprocess)))
-    pairs = [(procs[a], procs[b]) for a, b in pair_paths]
+    # Completed pairs get a placeholder; register_pairs_batched never touches
+    # the clouds of checkpoint-restored pairs.
+    _dummy = next(iter(procs.values()), None)
+    pairs = [
+        (procs.get(a, _dummy), procs.get(b, _dummy)) for a, b in pair_paths
+    ]
 
     res = register_pairs_batched(
         pairs,
         cfg,
         key=jax.random.PRNGKey(args.seed),
         ransac_iterations=args.ransac_iterations,
+        checkpoint=store,
+        pair_names=pair_names,
     )
     payload = [
         {
@@ -333,6 +383,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ransac-iterations", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="batch_results.json")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable run: per-pair results are persisted here "
+                        "(keyed by the pair's paths) and skipped on re-run")
     p.set_defaults(fn=_cmd_register_batch)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")

@@ -86,6 +86,50 @@ class CheckpointStore:
             out.append((int(parts[1]), int(parts[2])))
         return out
 
+    # ---- named pair records (register-batch resume) ------------------------
+
+    @staticmethod
+    def _pair_hash(name: str) -> str:
+        import hashlib
+
+        return hashlib.sha1(name.encode()).hexdigest()[:16]
+
+    def _pair_path(self, name: str) -> Path:
+        return self.dir / f"pair_{self._pair_hash(name)}.npz"
+
+    def get_pair(self, name: str) -> EdgeRecord | None:
+        """Record for a name-keyed pair (e.g. 'src.ply\\ttgt.ply') or None.
+
+        Name-keyed (content-hash of the pair's identity) rather than
+        index-keyed so re-running with an edited manifest skips exactly the
+        pairs that were already registered, regardless of line order.
+        """
+        p = self._pair_path(name)
+        if not p.exists():
+            return None
+        try:
+            with np.load(p) as z:
+                return EdgeRecord(
+                    transformation=z["transformation"],
+                    fitness=float(z["fitness"]),
+                    inlier_rmse=float(z["inlier_rmse"]),
+                    iterations=int(z["iterations"]),
+                )
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def put_pair(self, name: str, rec: EdgeRecord) -> None:
+        p = self._pair_path(name)
+        tmp = p.with_name(p.stem + ".tmp.npz")
+        np.savez(
+            tmp,
+            transformation=np.asarray(rec.transformation, np.float64),
+            fitness=np.float64(rec.fitness),
+            inlier_rmse=np.float64(rec.inlier_rmse),
+            iterations=np.int64(rec.iterations),
+        )
+        os.replace(tmp, p)
+
     # ---- manifest / poses --------------------------------------------------
 
     def write_manifest(self, **meta) -> None:

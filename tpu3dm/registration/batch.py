@@ -81,6 +81,7 @@ class BatchResult:
     ransac_fitness: np.ndarray  # [P]
     icp_rmse: np.ndarray  # [P]
     bucket_of_pair: list[int]  # bucket capacity each pair ran at
+    # (-1 = restored from a checkpoint store, not dispatched this run)
 
 
 def _tight(cloud: ProcessedCloud) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -111,6 +112,8 @@ def register_pairs_batched(
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
+    checkpoint=None,
+    pair_names: list[str] | None = None,
 ) -> BatchResult:
     """Register many preprocessed pairs with capacity-bucketed dispatches.
 
@@ -123,12 +126,20 @@ def register_pairs_batched(
         batches are padded to a multiple of the mesh's pair-axis size.
       bucket_multiple: capacity quantum for grouping.
       ransac_iterations / icp_iterations: per-pair work knobs.
+      checkpoint: optional ``multiway.checkpoint.CheckpointStore`` — each
+        pair's result is persisted (atomic npz) as its bucket completes, and
+        already-stored pairs are skipped on re-run.  Requires ``pair_names``.
+      pair_names: stable identity string per pair (e.g. 'src.ply\\ttgt.ply')
+        used as the checkpoint key; results stay correct across manifest
+        reordering/edits because the key is content-derived, not positional.
 
     Returns:
       BatchResult with arrays indexed like ``pairs``.
     """
     import jax.numpy as jnp
 
+    if checkpoint is not None and pair_names is None:
+        raise ValueError("checkpoint requires pair_names")
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
     if key is None:
@@ -142,13 +153,28 @@ def register_pairs_batched(
             [],
         )
 
+    # --- resume: pull completed pairs from the checkpoint store --------------
+    done: dict[int, object] = {}
+    if checkpoint is not None:
+        for i, name in enumerate(pair_names):
+            rec = checkpoint.get_pair(name)
+            if rec is not None:
+                done[i] = rec
+        if done:
+            logger.info(
+                "checkpoint: %d/%d pairs already registered, skipping",
+                len(done), n_pairs,
+            )
+
     # --- compact + bucket ---------------------------------------------------
-    tights = []
+    tights: list = [None] * n_pairs
     buckets: dict[int, list[int]] = {}
     for i, (src, tgt) in enumerate(pairs):
+        if i in done:
+            continue
         ts, tt = _tight(src), _tight(tgt)
         cap = round_up(max(ts[0].shape[0], tt[0].shape[0], 1), bucket_multiple)
-        tights.append((ts, tt))
+        tights[i] = (ts, tt)
         buckets.setdefault(cap, []).append(i)
 
     pair_quantum = int(mesh.shape["pair"]) if mesh is not None else 1
@@ -240,8 +266,27 @@ def register_pairs_batched(
             out_fit[i] = fit[j]
             out_rmse[i] = rmse[j]
             bucket_of[i] = cap
+            if checkpoint is not None:
+                from tpu3dm.multiway.checkpoint import EdgeRecord
+
+                checkpoint.put_pair(
+                    pair_names[i],
+                    EdgeRecord(
+                        transformation=T[j],
+                        fitness=float(fit[j]),
+                        inlier_rmse=float(rmse[j]),
+                        iterations=ransac_iterations,
+                    ),
+                )
         logger.info(
             "bucket cap=%d: %d pairs (padded to %d) registered", cap, b, b_pad
         )
+
+    # Fold checkpoint-restored results back into positional order.
+    for i, rec in done.items():
+        out_T[i] = np.asarray(rec.transformation, np.float32)
+        out_fit[i] = rec.fitness
+        out_rmse[i] = rec.inlier_rmse
+        bucket_of[i] = -1  # restored, not dispatched this run
 
     return BatchResult(out_T, out_fit, out_rmse, bucket_of)
