@@ -125,3 +125,108 @@ class TestCheckpointResume:
         assert res2.bucket_of_pair[1] > 0  # recomputed
         for i, T_true in enumerate(trues):
             assert _rot_err_deg(res2.transforms[i], T_true) < 2.0, i
+
+
+def test_batched_alias_rescue_symmetric_arch():
+    """The 60-deg arch-alias regression through the BATCHED path (VERDICT r1
+    item 4): rescue_restarts>0 runs two-mode RANSAC x restarts + on-device
+    ICP verification inside the fused step, recovering the true pose where
+    single-mode election can elect a tied alias."""
+    from tpu3dm.io.synthetic import dental_arch_cloud
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    rng = np.random.default_rng(0)
+    base = dental_arch_cloud(6000, seed=0)
+    center = base.mean(axis=0)
+    r = np.random.default_rng(1001)
+    a, b, c = r.uniform(-np.pi / 6, np.pi / 6, size=3)
+    rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+    ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+    rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+    R = rz @ ry @ rx
+    t = r.uniform(-0.5, 0.5, size=3)
+    o = -R @ center + center + t
+    views = [
+        (base + 0.01 * rng.standard_normal(base.shape)).astype(np.float32),
+        (base @ R.T + o + 0.01 * rng.standard_normal(base.shape)).astype(np.float32),
+    ]
+    procs = preprocess_points_batch(views, cfg.preprocess)
+    res = register_pairs_batched(
+        [(procs[0], procs[1])], cfg, ransac_iterations=4096, rescue_restarts=4,
+    )
+    M = res.transforms[0][:3, :3] @ R.T
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+    assert rot_err < 2.0, rot_err
+
+
+def test_rescue_elects_true_pose_over_planted_alias():
+    """Deterministic rescue unit test: correspondences where an alias pose
+    OUT-VOTES the truth (60% support a 60-deg rotated alias, 40% the true
+    pose).  Plain RANSAC must elect the alias; the rescue's ICP verification
+    against the real target geometry must elect the true pose."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dm.core import se3
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.parallel.multipair import ransac_pair_step
+    from tpu3dm.preprocess.normals import estimate_normals
+    from tpu3dm.core.cloud import from_numpy
+    from tpu3dm.registration.fused import _ransac_with_rescue
+
+    n = 1500
+    p = dental_arch_cloud(n, seed=5).astype(np.float32)
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=3); w = w / np.linalg.norm(w) * 0.3
+    tt = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+    T_true = np.asarray(se3.exp_se3(jnp.concatenate([jnp.asarray(tt), jnp.asarray(w, jnp.float32)])))
+    tgt = p @ T_true[:3, :3].T + T_true[:3, 3]
+
+    # Alias: extra 60-deg rotation about the target centroid's vertical axis.
+    c = tgt.mean(axis=0)
+    ang = np.radians(60.0)
+    Rz = np.array([
+        [np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]
+    ], np.float32)
+    A = np.eye(4, dtype=np.float32)
+    A[:3, :3] = Rz
+    A[:3, 3] = c - Rz @ c
+    T_alias = A @ T_true
+
+    q = np.where(
+        (np.arange(n) % 5 < 3)[:, None],              # 60% alias support
+        p @ T_alias[:3, :3].T + T_alias[:3, 3],
+        p @ T_true[:3, :3].T + T_true[:3, 3],
+    ).astype(np.float32)
+    valid = np.ones(n, bool)
+
+    # Plain single-mode RANSAC elects the (better-supported) alias.
+    T0, _ = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid), jax.random.PRNGKey(0),
+        dist_thresh=0.05, iterations=4096, batch_size=4096,
+    )
+    alias_err = np.degrees(np.arccos(np.clip(
+        (np.trace(np.asarray(T0)[:3, :3] @ T_true[:3, :3].T) - 1) / 2, -1, 1)))
+    assert alias_err > 30, f"expected alias election, got rot_err={alias_err}"
+
+    # Rescue: verification against the real target geometry elects the truth.
+    tgt_pc = estimate_normals(from_numpy(tgt), radius=0.6)
+    cap = tgt_pc.points.shape[0]
+    def padv(a):
+        out = np.zeros((cap,) + a.shape[1:], a.dtype); out[: a.shape[0]] = a
+        return jnp.asarray(out)
+    mask = jnp.asarray(np.arange(cap) < n)
+    T_r, count = _ransac_with_rescue(
+        padv(p), padv(q), mask,
+        padv(p), mask, tgt_pc.points, tgt_pc.mask, tgt_pc.normals,
+        jax.random.PRNGKey(0),
+        dist_thresh=0.05,
+        ransac_iterations=4096,
+        ransac_batch=4096,
+        approx_score=False,
+        rescue_restarts=2,
+        verify_iters=8,
+    )
+    true_err = np.degrees(np.arccos(np.clip(
+        (np.trace(np.asarray(T_r)[:3, :3] @ T_true[:3, :3].T) - 1) / 2, -1, 1)))
+    assert true_err < 2.0, f"rescue failed: rot_err={true_err}"

@@ -66,6 +66,11 @@ class RansacConfig:
     # (reference ``early_stop_threshold``, default 0.5 in the GUI)
     # Correspondence noise injection for robustness testing (ransac.py:89-99):
     noise_ratio: float = 0.0
+    # Batched alias rescue (registration/fused.py _ransac_with_rescue): >0
+    # runs that many independent two-mode RANSAC restarts with on-device ICP
+    # verification inside the fused/batched paths.  No reference counterpart
+    # (the reference's single-mode election loses on near-symmetric clouds).
+    rescue_restarts: int = 0
 
     @property
     def dist_thresh(self) -> float:

@@ -25,6 +25,7 @@ from tpu3dm.parallel.mesh import PAIR_AXIS
 from tpu3dm.registration.hypotheses import (
     prepare_correspondences,
     refit_inliers,
+    rot_cos_planar,
     sample_fit_score,
     winner_T,
 )
@@ -43,6 +44,8 @@ def ransac_pair_step(
     edge_length_ratio: float = 0.9,
     refit: bool = True,
     approx_score: bool = False,
+    two_mode: bool = False,
+    mode_angle_deg: float = 15.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
 
@@ -59,7 +62,13 @@ def ransac_pair_step(
     re-counted EXACTLY by ``refit_inliers``, so final transforms/fitness
     stay exact-arithmetic quality.
 
-    Returns (best_T [4,4], best_count scalar int32).
+    ``two_mode=True`` additionally tracks the best hypothesis whose rotation
+    differs from the leader by more than ``mode_angle_deg`` (the planar
+    analog of registration/ransac.py ``ransac_two_mode``), for downstream
+    alias disambiguation on near-symmetric geometry.
+
+    Returns (best_T [4,4], best_count scalar int32), or with ``two_mode``
+    (Ts [2,4,4], counts [2]) ordered (primary, secondary).
     """
     thresh_sq = jnp.float32(dist_thresh) ** 2
     order = compaction_permutation(valid)
@@ -76,35 +85,88 @@ def ransac_pair_step(
     n_chunks = max(1, iterations // batch_size)
     pq, F, c = prepare_correspondences(p_all, q_all)
 
-    def chunk(carry, k_chunk):
-        best_T, best_count = carry
+    def fit_chunk(k_chunk):
         triples = _sample_distinct_triples(k_chunk, batch_size, jnp.maximum(n_valid, 3))
-        R, t, counts = sample_fit_score(
+        return sample_fit_score(
             pq, F, c, valid, triples, thresh_sq,
             edge_length_ratio=edge_length_ratio,
             approx_score=approx_score,
         )
-        k = jnp.argmax(counts)
-        better = counts[k] > best_count
-        return (
-            jnp.where(better, winner_T(R, t, k), best_T),
-            jnp.where(better, counts[k], best_count),
-        ), None
 
     keys = jax.random.split(key, n_chunks)
-    (best_T, best_count), _ = jax.lax.scan(
-        chunk, (jnp.eye(4, dtype=jnp.float32), jnp.int32(-1)), keys
-    )
-    best_count = jnp.maximum(best_count, 0)
-    if refit:
-        best_T, best_count = refit_inliers(
-            best_T, best_count, p_all, q_all, valid, thresh_sq
+
+    def unshift(T):
+        # T_world = Shift(c0) . T_centered . Shift(-c0).
+        R_w = T[:3, :3]
+        t_w = T[:3, 3] + c0 - R_w @ c0
+        return T.at[:3, 3].set(t_w)
+
+    def finalize(T, count):
+        count = jnp.maximum(count, 0)
+        if refit:
+            T, count = refit_inliers(T, count, p_all, q_all, valid, thresh_sq)
+        return unshift(T), count
+
+    if not two_mode:
+
+        def chunk(carry, k_chunk):
+            best_T, best_count = carry
+            R, t, counts = fit_chunk(k_chunk)
+            k = jnp.argmax(counts)
+            better = counts[k] > best_count
+            return (
+                jnp.where(better, winner_T(R, t, k), best_T),
+                jnp.where(better, counts[k], best_count),
+            ), None
+
+        (best_T, best_count), _ = jax.lax.scan(
+            chunk, (jnp.eye(4, dtype=jnp.float32), jnp.int32(-1)), keys
         )
-    # Un-shift: T_world = Shift(c0) . T_centered . Shift(-c0).
-    R_w = best_T[:3, :3]
-    t_w = best_T[:3, 3] + c0 - R_w @ c0
-    best_T = best_T.at[:3, 3].set(t_w)
-    return best_T, best_count
+        return finalize(best_T, best_count)
+
+    # --- two-mode: track the leader AND the best rotation-far hypothesis ----
+    cos_thr = jnp.cos(jnp.deg2rad(jnp.float32(mode_angle_deg)))
+
+    def rot_close(Ta, Tb):
+        cosang = (jnp.trace(Ta[:3, :3].T @ Tb[:3, :3]) - 1.0) * 0.5
+        return cosang >= cos_thr
+
+    def merge(T1, c1, T2, c2, Tc, cc):
+        """Fold candidate (Tc, cc) into the two mode slots (branchless;
+        same algebra as registration/ransac.py ransac_two_mode)."""
+        near1 = rot_close(T1, Tc)
+        n_T1 = jnp.where(cc > c1, Tc, T1)
+        n_c1 = jnp.maximum(cc, c1)
+        f_T1 = jnp.where(cc > c1, Tc, T1)
+        f_c1 = jnp.maximum(cc, c1)
+        f_T2 = jnp.where(cc > c1, T1, jnp.where(cc > c2, Tc, T2))
+        f_c2 = jnp.where(cc > c1, c1, jnp.maximum(cc, c2))
+        T1n = jnp.where(near1, n_T1, f_T1)
+        c1n = jnp.where(near1, n_c1, f_c1)
+        T2n = jnp.where(near1, T2, f_T2)
+        c2n = jnp.where(near1, c2, f_c2)
+        return T1n, c1n, T2n, c2n
+
+    def chunk2(carry, k_chunk):
+        T1, c1, T2, c2 = carry
+        R, t, counts = fit_chunk(k_chunk)
+        ka = jnp.argmax(counts)
+        Ta, ca = winner_T(R, t, ka), counts[ka]
+        cosang = rot_cos_planar(Ta, R)
+        counts_far = jnp.where(cosang < cos_thr, counts, -1)
+        kb = jnp.argmax(counts_far)
+        Tb, cb = winner_T(R, t, kb), counts_far[kb]
+        T1, c1, T2, c2 = merge(T1, c1, T2, c2, Ta, ca)
+        T1, c1, T2, c2 = merge(T1, c1, T2, c2, Tb, cb)
+        return (T1, c1, T2, c2), None
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    (T1, c1, T2, c2), _ = jax.lax.scan(
+        chunk2, (eye, jnp.int32(-1), eye, jnp.int32(-1)), keys
+    )
+    T1, c1 = finalize(T1, c1)
+    T2, c2 = finalize(T2, c2)
+    return jnp.stack([T1, T2]), jnp.stack([c1, c2])
 
 
 @functools.partial(

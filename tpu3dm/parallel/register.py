@@ -33,6 +33,8 @@ from tpu3dm.registration.fused import fused_register_step
         "icp_iterations",
         "icp_solves_per_nn",
         "approx_score",
+        "rescue_restarts",
+        "verify_iters",
     ),
 )
 def batched_register(
@@ -53,6 +55,8 @@ def batched_register(
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 1,
     approx_score: bool = False,
+    rescue_restarts: int = 0,
+    verify_iters: int = 8,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -75,5 +79,7 @@ def batched_register(
         icp_iterations=icp_iterations,
         icp_solves_per_nn=icp_solves_per_nn,
         approx_score=approx_score,
+        rescue_restarts=rescue_restarts,
+        verify_iters=verify_iters,
     )
     return jax.vmap(step)(*arrays)

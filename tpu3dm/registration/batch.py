@@ -48,12 +48,14 @@ logger = setup_logging(__name__)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ransac_iterations", "icp_iterations", "icp_solves_per_nn", "approx_score"
+        "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
+        "approx_score", "rescue_restarts", "verify_iters",
     ),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
     *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
+    rescue_restarts=0, verify_iters=8,
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -68,6 +70,8 @@ def _batched_step(
             icp_iterations=icp_iterations,
             icp_solves_per_nn=icp_solves_per_nn,
             approx_score=approx_score,
+            rescue_restarts=rescue_restarts,
+            verify_iters=verify_iters,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -112,6 +116,7 @@ def register_pairs_batched(
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
+    rescue_restarts: int | None = None,
     checkpoint=None,
     pair_names: list[str] | None = None,
 ) -> BatchResult:
@@ -126,6 +131,9 @@ def register_pairs_batched(
         batches are padded to a multiple of the mesh's pair-axis size.
       bucket_multiple: capacity quantum for grouping.
       ransac_iterations / icp_iterations: per-pair work knobs.
+      rescue_restarts: >0 enables the batched alias rescue inside the fused
+        step (two-mode RANSAC x restarts + on-device ICP verification —
+        registration/fused.py); None takes config.ransac.rescue_restarts.
       checkpoint: optional ``multiway.checkpoint.CheckpointStore`` — each
         pair's result is persisted (atomic npz) as its bucket completes, and
         already-stored pairs are skipped on re-run.  Requires ``pair_names``.
@@ -142,6 +150,8 @@ def register_pairs_batched(
         raise ValueError("checkpoint requires pair_names")
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
+    if rescue_restarts is None:
+        rescue_restarts = config.ransac.rescue_restarts
     if key is None:
         key = jax.random.PRNGKey(0)
     n_pairs = len(pairs)
@@ -200,6 +210,7 @@ def register_pairs_batched(
                 icp_iterations=icp_iterations,
                 icp_solves_per_nn=icp_solves_per_nn,
                 approx_score=approx_score,
+                rescue_restarts=rescue_restarts,
             )
 
     else:
@@ -213,6 +224,7 @@ def register_pairs_batched(
                 icp_iterations=icp_iterations,
                 icp_solves_per_nn=icp_solves_per_nn,
                 approx_score=approx_score,
+                rescue_restarts=rescue_restarts,
             )
 
     for cap, idxs in sorted(buckets.items()):

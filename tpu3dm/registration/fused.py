@@ -24,6 +24,83 @@ def _nn(query, target, qmask, tmask):
     return nn_search(query, target, qmask, tmask)
 
 
+def _ransac_with_rescue(
+    p_all, q_all, valid,
+    src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals,
+    key,
+    *,
+    dist_thresh,
+    ransac_iterations,
+    ransac_batch,
+    approx_score,
+    rescue_restarts,
+    verify_iters,
+):
+    """Batched alias rescue: 2R candidate poses (two RANSAC modes x R
+    restarts), each verified by a short on-device ICP; elect by verified
+    (fitness, -rmse).
+
+    Near-symmetric geometry (e.g. a dental arch) produces RANSAC aliases
+    whose inlier count TIES the true pose, so argmax election is a coin
+    flip; a few ICP iterations discriminate decisively (the true pose
+    converges toward fitness ~1, aliases stall) — see
+    registration/large.py coarse_pose_with_verification, which does this
+    from a host loop.  Here the whole search-verify-elect program is one
+    compiled graph, usable under vmap from the batched production paths.
+    """
+    keys = jax.random.split(key, rescue_restarts)
+
+    def one_restart(k):
+        return ransac_pair_step(
+            p_all, q_all, valid, k,
+            dist_thresh=dist_thresh,
+            iterations=ransac_iterations,
+            batch_size=ransac_batch,
+            approx_score=approx_score,
+            two_mode=True,
+        )
+
+    Ts, counts = jax.vmap(one_restart)(keys)  # [R, 2, 4, 4], [R, 2]
+    cands = Ts.reshape(-1, 4, 4)
+    ccounts = jnp.maximum(counts.reshape(-1), 0)
+
+    ver_thresh_sq = jnp.float32(dist_thresh) ** 2
+    n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
+
+    def verify(T0):
+        def it(T, _):
+            pts = se3.apply(T, src_pts)
+            _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+            q = tgt_pts[idx]
+            nv = tgt_normals[idx]
+            m = (jnp.sum((pts - q) ** 2, axis=1) < ver_thresh_sq) & src_mask
+            w = m.astype(jnp.float32)
+            r = jnp.sum((pts - q) * nv, axis=1) * w
+            J = jnp.concatenate([nv, jnp.cross(pts, nv)], axis=1) * w[:, None]
+            A = J.T @ J
+            A = A + 1e-6 * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
+            xi = jnp.linalg.solve(A, -J.T @ r)
+            xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+            return se3.exp_se3(xi) @ T, None
+
+        T, _ = jax.lax.scan(it, T0, None, length=verify_iters)
+        pts = se3.apply(T, src_pts)
+        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+        d2 = jnp.sum((pts - tgt_pts[idx]) ** 2, axis=1)
+        m = (d2 < ver_thresh_sq) & src_mask
+        fit = jnp.sum(m.astype(jnp.float32)) / n_src
+        rmse = jnp.sqrt(
+            jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+        )
+        return T, fit, rmse
+
+    vT, vfit, vrmse = jax.vmap(verify)(cands)
+    # fitness dominates; rmse (bounded by thresh) breaks near-ties.
+    score = vfit - vrmse / jnp.float32(dist_thresh) * 0.5
+    best = jnp.argmax(score)
+    return vT[best], ccounts[best]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -33,6 +110,8 @@ def _nn(query, target, qmask, tmask):
         "icp_solves_per_nn",
         "mutual_filter",
         "approx_score",
+        "rescue_restarts",
+        "verify_iters",
     ),
 )
 def fused_register_step(
@@ -54,6 +133,8 @@ def fused_register_step(
     icp_solves_per_nn: int = 1,
     mutual_filter: bool = True,
     approx_score: bool = False,
+    rescue_restarts: int = 0,
+    verify_iters: int = 8,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -63,6 +144,14 @@ def fused_register_step(
     cost here, so 2 solves/NN trades a negligible convergence difference
     for nearly half the ICP time; the benchmark quality gate (rotation
     error / alignment RMSE) guards the trade.
+
+    ``rescue_restarts`` > 0 enables the batched alias rescue: R independent
+    two-mode RANSAC runs produce 2R candidate poses, each verified by a
+    short fixed-iteration point-to-plane ICP on device, and the candidate
+    with the best verified (fitness, -rmse) is elected — the fully-compiled
+    analog of ``registration.large.coarse_pose_with_verification`` for
+    near-symmetric geometry whose alias inlier counts tie the true pose.
+    Default 0 keeps the single-run fast path.
 
     Returns (T [4,4], ransac_fitness, icp_rmse).
     """
@@ -78,18 +167,31 @@ def fused_register_step(
     p_all = src_pts
     q_all = tgt_pts[idx_fwd]
 
-    # --- batched RANSAC -----------------------------------------------------
-    T, count = ransac_pair_step(
-        p_all,
-        q_all,
-        valid,
-        key,
-        dist_thresh=dist_thresh,
-        iterations=ransac_iterations,
-        batch_size=ransac_batch,
-        approx_score=approx_score,
-    )
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    if rescue_restarts > 0:
+        T, count = _ransac_with_rescue(
+            p_all, q_all, valid,
+            src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals,
+            key,
+            dist_thresh=dist_thresh,
+            ransac_iterations=ransac_iterations,
+            ransac_batch=ransac_batch,
+            approx_score=approx_score,
+            rescue_restarts=rescue_restarts,
+            verify_iters=verify_iters,
+        )
+    else:
+        # --- batched RANSAC --------------------------------------------------
+        T, count = ransac_pair_step(
+            p_all,
+            q_all,
+            valid,
+            key,
+            dist_thresh=dist_thresh,
+            iterations=ransac_iterations,
+            batch_size=ransac_batch,
+            approx_score=approx_score,
+        )
     fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)
 
     # --- ICP polish (fixed iteration count, point-to-plane) -----------------
