@@ -162,3 +162,70 @@ def test_nn_mutual_matches_two_searches():
     _, bb = brute_nn(b, a[:100])
     np.testing.assert_array_equal(np.asarray(fwd)[:100], bf[:100])
     np.testing.assert_array_equal(np.asarray(bwd)[:80], bb[:80])
+
+
+class TestNnTopk:
+    """ops/topk.py: k-nearest-within-radius (Open3D hybrid-search semantics)."""
+
+    def _oracle(self, q, t, k, radius=None):
+        d2 = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d2, axis=1, kind="stable")
+        d2s = np.take_along_axis(d2, order, axis=1)
+        if radius is not None:
+            ok = d2s <= radius * radius
+        else:
+            ok = np.ones_like(d2s, bool)
+        return d2s[:, :k], order[:, :k], ok[:, :k]
+
+    def test_matches_sorted_oracle(self):
+        from tpu3dm.ops.topk import nn_topk
+
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(100, 3)).astype(np.float32)
+        t = rng.normal(size=(300, 3)).astype(np.float32)
+        d2, idx, valid = nn_topk(jnp.asarray(q), jnp.asarray(t), k=7)
+        ed2, eidx, eok = self._oracle(q.astype(np.float64), t.astype(np.float64), 7)
+        assert bool(jnp.all(valid))
+        np.testing.assert_allclose(np.asarray(d2), ed2, atol=1e-4)
+        # indices may differ only at float-tie boundaries
+        mism = np.asarray(idx) != eidx
+        if mism.any():
+            np.testing.assert_allclose(
+                np.asarray(d2)[mism], ed2[mism], atol=1e-4
+            )
+
+    def test_radius_bound_and_validity(self):
+        from tpu3dm.ops.topk import nn_topk
+
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(50, 3)).astype(np.float32)
+        t = rng.normal(size=(200, 3)).astype(np.float32)
+        r = 0.5
+        d2, idx, valid = nn_topk(jnp.asarray(q), jnp.asarray(t), k=20, radius=r)
+        d2n, vn = np.asarray(d2), np.asarray(valid)
+        assert np.all(d2n[vn] <= r * r + 1e-6)
+        ed2, _, _ = self._oracle(q.astype(np.float64), t.astype(np.float64), 20)
+        in_r = (ed2 <= r * r).sum(axis=1)
+        np.testing.assert_array_equal(vn.sum(axis=1), in_r)
+
+    def test_masked_targets_never_selected(self):
+        from tpu3dm.ops.topk import nn_topk
+
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(30, 3)).astype(np.float32)
+        t = rng.normal(size=(100, 3)).astype(np.float32)
+        tmask = np.arange(100) < 60
+        _, idx, valid = nn_topk(
+            jnp.asarray(q), jnp.asarray(t), None, jnp.asarray(tmask), k=10
+        )
+        assert np.all(np.asarray(idx)[np.asarray(valid)] < 60)
+
+    def test_k_larger_than_targets(self):
+        from tpu3dm.ops.topk import nn_topk
+
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(10, 3)).astype(np.float32)
+        t = rng.normal(size=(5, 3)).astype(np.float32)
+        d2, idx, valid = nn_topk(jnp.asarray(q), jnp.asarray(t), k=64)
+        assert d2.shape == (10, 5)  # clamped to target count
+        assert bool(jnp.all(valid))

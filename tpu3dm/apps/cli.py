@@ -258,6 +258,7 @@ def _cmd_register_batch(args) -> int:
         cfg,
         key=jax.random.PRNGKey(args.seed),
         ransac_iterations=args.ransac_iterations,
+        rescue_restarts=args.rescue_restarts,
         checkpoint=store,
         pair_names=pair_names,
     )
@@ -386,6 +387,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="resumable run: per-pair results are persisted here "
                         "(keyed by the pair's paths) and skipped on re-run")
+    p.add_argument("--rescue-restarts", type=int, default=0,
+                   help=">0 enables the batched alias rescue inside each "
+                        "fused step (two-mode RANSAC x restarts + on-device "
+                        "ICP verification)")
     p.set_defaults(fn=_cmd_register_batch)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")

@@ -202,6 +202,7 @@ def register_multiway_batched(
     icp_iterations: int = 12,
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
+    rescue_restarts: int | None = None,
     mesh=None,
     checkpoint_dir: str | None = None,
 ) -> MultiwayResult:
@@ -267,6 +268,8 @@ def register_multiway_batched(
     si, ti = jnp.asarray(e_np[:, 0]), jnp.asarray(e_np[:, 1])
     keys = jax.random.split(key, len(edges))
 
+    if rescue_restarts is None:
+        rescue_restarts = config.ransac.rescue_restarts
     run = _edges_runner(
         float(config.ransac.dist_thresh),
         float(config.icp.dist_thresh),
@@ -276,6 +279,7 @@ def register_multiway_batched(
         int(icp_solves_per_nn),
         bool(approx_score),
         bool(config.ransac.mutual_filter),
+        int(rescue_restarts),
     )
 
     if mesh is not None:
@@ -322,6 +326,7 @@ def _edges_runner(
     icp_solves_per_nn: int,
     approx_score: bool,
     mutual_filter: bool,
+    rescue_restarts: int = 0,
 ):
     """Jitted all-edges registration step, cached by its static parameters.
 
@@ -341,6 +346,7 @@ def _edges_runner(
         icp_solves_per_nn=icp_solves_per_nn,
         approx_score=approx_score,
         mutual_filter=mutual_filter,
+        rescue_restarts=rescue_restarts,
     )
 
     @jax.jit
