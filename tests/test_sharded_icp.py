@@ -87,6 +87,33 @@ class TestShardedIcpParity:
         np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=5e-3)
 
 
+def test_block_sparse_ring_matches_dense(mesh8):
+    """block_sparse=True (KD-blocked candidate search per ring step) lands on
+    the same transform as the dense ring at O(shard*w*block) cost."""
+    from tpu3dm.ops.nn import nn_search
+    from tpu3dm.preprocess.voxel import voxel_downsample_host
+
+    pts = dental_arch_cloud(12_000, seed=0)
+    T_true = _rigid(1, angle=0.05, trans=0.05)
+    tgt_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+    down = estimate_normals(voxel_downsample_host(tgt_pts, 0.3), 0.6)
+    _, idx = nn_search(jnp.asarray(tgt_pts), down.points, None, down.mask)
+    nrm = np.asarray(down.normals)[np.asarray(idx)]
+
+    kw = dict(tgt_normals=nrm, dist_thresh=0.3, max_iterations=5)
+    res_d = icp_refine_sharded(mesh8, pts, tgt_pts, jnp.eye(4), **kw)
+    res_s = icp_refine_sharded(
+        mesh8, pts, tgt_pts, jnp.eye(4), block_sparse=True, block=256, w=8, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.transformation),
+        np.asarray(res_d.transformation),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(np.asarray(res_s.transformation), T_true, atol=2e-3)
+    assert float(res_s.fitness) > 0.99
+
+
 @pytest.mark.slow
 def test_register_arrays_large_with_mesh(mesh8):
     """End-to-end large-cloud registration with the sharded refinement

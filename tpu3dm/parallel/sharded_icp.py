@@ -40,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu3dm.core import se3
 from tpu3dm.ops.nn import nn_search
+from tpu3dm.ops.nn_sparse import SPARSE_PAD, kd_perm, nn_blocksparse
 from tpu3dm.parallel.mesh import BLOCK_AXIS
 from tpu3dm.registration.result import RegistrationResult
 
@@ -56,9 +57,52 @@ def _pad_shards(arr: np.ndarray, nb: int, fill: float = 0.0) -> np.ndarray:
     return np.concatenate([arr, filler], axis=0)
 
 
+def _prep_blocksparse_shards(
+    points: np.ndarray,
+    normals: np.ndarray | None,
+    nb: int,
+    block: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Two-level spatial partition for the block-sparse ring (host, once).
+
+    Outer level: KD-partition the cloud into nb spatially-COMPACT shards
+    (compact shards -> tight per-block AABBs -> good candidate bounds when a
+    whole shard visits another device).  Inner level: KD-sort each shard at
+    ``block`` granularity (nn_blocksparse's contract) and pad every shard to
+    one common block-multiple length with SPARSE_PAD sentinel rows.
+
+    Returns (points [nb*pad_len, 3], mask [nb*pad_len], normals or None).
+    """
+    pts = np.asarray(points, np.float32)
+    n = pts.shape[0]
+    shard_size = -(-n // nb)
+    outer = kd_perm(pts, shard_size)
+    pts_o = pts[outer]
+    nrm_o = np.asarray(normals, np.float32)[outer] if normals is not None else None
+    pad_len = ((shard_size + block - 1) // block) * block
+    out_p = np.full((nb * pad_len, 3), SPARSE_PAD, np.float32)
+    out_m = np.zeros((nb * pad_len,), bool)
+    out_n = np.zeros((nb * pad_len, 3), np.float32) if normals is not None else None
+    for s in range(nb):
+        lo, hi = s * shard_size, min((s + 1) * shard_size, n)
+        sh = pts_o[lo:hi]
+        if sh.shape[0] == 0:
+            continue
+        inner = kd_perm(sh, block)
+        dst = s * pad_len
+        out_p[dst : dst + sh.shape[0]] = sh[inner]
+        out_m[dst : dst + sh.shape[0]] = True
+        if out_n is not None:
+            out_n[dst : dst + sh.shape[0]] = nrm_o[lo:hi][inner]
+    return out_p, out_m, out_n
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "max_iterations", "point_to_plane"),
+    static_argnames=(
+        "mesh", "max_iterations", "point_to_plane",
+        "block_sparse", "block", "w",
+    ),
 )
 def _icp_sharded_jit(
     src_pts: jax.Array,
@@ -74,6 +118,9 @@ def _icp_sharded_jit(
     mesh: Mesh,
     max_iterations: int,
     point_to_plane: bool,
+    block_sparse: bool = False,
+    block: int = 512,
+    w: int = 8,
 ) -> RegistrationResult:
     nb = mesh.shape[BLOCK_AXIS]
     shard_nt = tgt_pts.shape[0] // nb
@@ -89,11 +136,21 @@ def _icp_sharded_jit(
         def ring_correspond(T):
             """Fold (best_d2, q, n) for the local source shard over the ring."""
             pts = se3.apply(T, src)
-            pts = jnp.where(smask[:, None], pts, _BIG)
+            # Masked source rows keep their sentinel coordinates (T would
+            # move them): _BIG pads on the dense path, SPARSE_PAD (inside
+            # fp32 when squared) on the block-sparse path.
+            pts = jnp.where(smask[:, None], pts, src)
 
             def step(i, carry):
                 bd2, bq, bn, bidx, t_blk, n_blk, m_blk, src_dev = carry
-                d2, idx = nn_search(pts, t_blk, None, m_blk)
+                if block_sparse:
+                    # KD-blocked candidate search within the visiting shard:
+                    # O(shard * w * block) instead of O(shard^2) per step.
+                    # Sentinel rows (SPARSE_PAD) never win; masked results
+                    # are filtered by the d2 < thresh^2 test downstream.
+                    d2, idx, _ = nn_blocksparse(pts, t_blk, block=block, w=w)
+                else:
+                    d2, idx = nn_search(pts, t_blk, None, m_blk)
                 gidx = idx + src_dev * shard_nt
                 better = (d2 < bd2) | ((d2 == bd2) & (gidx < bidx))
                 bd2 = jnp.where(better, d2, bd2)
@@ -209,6 +266,9 @@ def icp_refine_sharded(
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
     point_to_plane: bool | None = None,
+    block_sparse: bool = False,
+    block: int = 512,
+    w: int = 8,
 ) -> RegistrationResult:
     """ICP refinement with both clouds sharded over the mesh's block axis.
 
@@ -218,6 +278,14 @@ def icp_refine_sharded(
     the single-device ``registration.icp.icp_refine`` / ``icp_refine_large``;
     the reference counterpart is ``registration_icp`` on full-resolution
     clouds (src/matcher/icp.py:42-48) at scales one chip cannot hold.
+
+    ``block_sparse=True`` replaces the dense per-ring-step NN with the
+    KD-blocked candidate kernel (ops/nn_sparse.py): both clouds get a
+    two-level spatial partition (compact shards, KD-sorted blocks within
+    each), cutting each ring step from O(shard^2) to O(shard * w * block)
+    distance work.  Like the single-chip block-sparse ICP it is
+    candidate-bounded rather than certified-exact per step; the d2 < thresh
+    correspondence test discards any non-exact long match.
 
     Args:
       mesh: mesh containing a ``block`` axis (other axes are untouched).
@@ -232,14 +300,22 @@ def icp_refine_sharded(
     src_np = np.asarray(src_pts, np.float32)
     tgt_np = np.asarray(tgt_pts, np.float32)
     ns, nt = src_np.shape[0], tgt_np.shape[0]
-    src_p = _pad_shards(src_np, nb, fill=_BIG)
-    tgt_p = _pad_shards(tgt_np, nb, fill=_BIG)
-    smask = np.arange(src_p.shape[0]) < ns
-    tmask = np.arange(tgt_p.shape[0]) < nt
-    if tgt_normals is not None:
-        nrm_p = _pad_shards(np.asarray(tgt_normals, np.float32), nb)
+    if block_sparse:
+        src_p, smask, _ = _prep_blocksparse_shards(src_np, None, nb, block)
+        tgt_p, tmask, nrm_p = _prep_blocksparse_shards(
+            tgt_np, tgt_normals, nb, block
+        )
+        if nrm_p is None:
+            nrm_p = np.zeros_like(tgt_p)
     else:
-        nrm_p = np.zeros_like(tgt_p)
+        src_p = _pad_shards(src_np, nb, fill=_BIG)
+        tgt_p = _pad_shards(tgt_np, nb, fill=_BIG)
+        smask = np.arange(src_p.shape[0]) < ns
+        tmask = np.arange(tgt_p.shape[0]) < nt
+        if tgt_normals is not None:
+            nrm_p = _pad_shards(np.asarray(tgt_normals, np.float32), nb)
+        else:
+            nrm_p = np.zeros_like(tgt_p)
     return _icp_sharded_jit(
         jnp.asarray(src_p),
         jnp.asarray(smask),
@@ -253,4 +329,7 @@ def icp_refine_sharded(
         mesh=mesh,
         max_iterations=max_iterations,
         point_to_plane=point_to_plane,
+        block_sparse=block_sparse,
+        block=block,
+        w=w,
     )
