@@ -171,3 +171,42 @@ class TestShardedIcpLarge:
         )
         np.testing.assert_allclose(np.asarray(res_sh.transformation), T_true, atol=2e-3)
         assert float(res_sh.fitness) > 0.99
+
+
+class TestShardedIcpDegenerate:
+    """Branchless degenerate-case semantics (crash-test categories of
+    test_ransac_crash.py applied to the sharded path): no NaN/Inf, identity
+    fallback behaviour, zero-fitness on no-overlap."""
+
+    def test_no_overlap_returns_finite(self, mesh8):
+        pts = dental_arch_cloud(2000, seed=0)
+        far = pts + 1000.0  # disjoint clouds: zero correspondences in radius
+        res = icp_refine_sharded(
+            mesh8, pts, far, jnp.eye(4),
+            dist_thresh=0.3, max_iterations=5, point_to_plane=False,
+        )
+        T = np.asarray(res.transformation)
+        assert np.all(np.isfinite(T))
+        assert float(res.fitness) == 0.0
+
+    def test_tiny_cloud(self, mesh8):
+        """Fewer points than devices: every shard pads, masks keep it sane."""
+        pts = dental_arch_cloud(5, seed=1)
+        res = icp_refine_sharded(
+            mesh8, pts, pts, jnp.eye(4),
+            dist_thresh=0.3, max_iterations=3, point_to_plane=False,
+        )
+        T = np.asarray(res.transformation)
+        assert np.all(np.isfinite(T))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-4)
+        assert float(res.fitness) > 0.99
+
+    def test_coplanar_cloud_no_nan(self, mesh8):
+        rng = np.random.default_rng(2)
+        pts = np.zeros((1000, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, (1000, 2))
+        res = icp_refine_sharded(
+            mesh8, pts, pts, jnp.eye(4),
+            dist_thresh=0.3, max_iterations=5, point_to_plane=False,
+        )
+        assert np.all(np.isfinite(np.asarray(res.transformation)))

@@ -24,8 +24,15 @@ class PreprocessConfig:
     # Hybrid-search caps (k nearest within radius, Open3D
     # KDTreeSearchParamHybrid semantics — ply.py:110-120).  0 selects the
     # uncapped all-radius-neighbours fast paths (documented deviation).
-    normal_max_nn: int = 30  # ply.py:111
+    normal_max_nn: int = 30  # ply.py:111 (downsampled cloud)
     fpfh_max_nn: int = 100  # ply.py:119
+    # Full-resolution normals (ply.py:123-135, feeds point-to-plane ICP
+    # only): the reference caps at 30 as a KDTree cost bound, but on TPU the
+    # k-selection costs 14.6x the uncapped covariance (measured: 1149 ms vs
+    # 79 ms warm 2-cloud preprocess at 20k points) while the plane-projection
+    # residual is insensitive to the cap.  Default 0 = uncapped fast path;
+    # set 30 for strict reference semantics.
+    full_normal_max_nn: int = 0
     # The reference *always* injects Gaussian noise sigma=0.05 into the
     # downsampled cloud (ply.py:59-62).  Here it is opt-in (SURVEY.md §0).
     noise_sigma: float = 0.0

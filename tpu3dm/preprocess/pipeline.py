@@ -59,6 +59,7 @@ def _features_impl(
     *,
     normal_max_nn: int,
     fpfh_max_nn: int,
+    full_normal_max_nn: int,
 ) -> tuple[PointCloud, PointCloud]:
     """Down-cloud normals + FPFH and full-cloud normals in ONE dispatch.
 
@@ -72,9 +73,13 @@ def _features_impl(
     """
     if normal_max_nn > 0:
         down = estimate_normals_capped(down, normal_radius, max_nn=normal_max_nn)
-        full = estimate_normals_capped(full, normal_radius, max_nn=normal_max_nn)
     else:
         down = estimate_normals(down, normal_radius)
+    # Full-res normals get their own cap knob: the k-selection at full
+    # resolution costs 14.6x the covariance fast path on TPU (config.py).
+    if full_normal_max_nn > 0:
+        full = estimate_normals_capped(full, normal_radius, max_nn=full_normal_max_nn)
+    else:
         full = estimate_normals(full, normal_radius)
     if fpfh_max_nn > 0:
         down = compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn)
@@ -84,16 +89,22 @@ def _features_impl(
 
 
 _features_device = jax.jit(
-    _features_impl, static_argnames=("normal_max_nn", "fpfh_max_nn")
+    _features_impl,
+    static_argnames=("normal_max_nn", "fpfh_max_nn", "full_normal_max_nn"),
 )
 
 
 # Module-level cache so jit executables persist across calls — a wrapper
 # built inside preprocess_points_batch would recompile on every invocation.
 @functools.lru_cache(maxsize=None)
-def _features_device_batched(normal_max_nn: int, fpfh_max_nn: int):
+def _features_device_batched(
+    normal_max_nn: int, fpfh_max_nn: int, full_normal_max_nn: int
+):
     fn = functools.partial(
-        _features_impl, normal_max_nn=normal_max_nn, fpfh_max_nn=fpfh_max_nn
+        _features_impl,
+        normal_max_nn=normal_max_nn,
+        fpfh_max_nn=fpfh_max_nn,
+        full_normal_max_nn=full_normal_max_nn,
     )
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, None, None)))
 
@@ -129,6 +140,7 @@ def preprocess_points(
             jnp.float32(config.fpfh_radius),
             normal_max_nn=config.normal_max_nn,
             fpfh_max_nn=config.fpfh_max_nn,
+            full_normal_max_nn=config.full_normal_max_nn,
         )
 
     if config.noise_sigma > 0.0:
@@ -175,7 +187,7 @@ def preprocess_points_batch(
     full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
 
     down_b, full_b = _features_device_batched(
-        config.normal_max_nn, config.fpfh_max_nn
+        config.normal_max_nn, config.fpfh_max_nn, config.full_normal_max_nn
     )(
         down_in,
         full_in,

@@ -263,6 +263,7 @@ def register_arrays_large(
     w: int = 8,
     point_to_plane: bool = True,
     mesh=None,
+    mesh_block_sparse: bool = False,
     restarts: int = 4,
 ):
     """Full registration of two large raw clouds (100k-10M points).
@@ -343,6 +344,9 @@ def register_arrays_large(
             dist_thresh=config.icp.dist_thresh,
             max_iterations=config.icp.max_iterations,
             point_to_plane=point_to_plane,
+            block_sparse=mesh_block_sparse,
+            block=block,
+            w=w,
         )
         return fine, coarse
 
