@@ -229,3 +229,19 @@ class TestNnTopk:
         d2, idx, valid = nn_topk(jnp.asarray(q), jnp.asarray(t), k=64)
         assert d2.shape == (10, 5)  # clamped to target count
         assert bool(jnp.all(valid))
+
+
+def test_nn_mutual_approx_matches_exact_on_separated_features():
+    """bf16 feature matmul (approx=True) picks the same mutual pairs when
+    matches are not near-ties (the registration regime that matters)."""
+    from tpu3dm.ops.nn import nn_mutual
+
+    rng = np.random.default_rng(0)
+    base = rng.random((400, 33)).astype(np.float32) * 100.0
+    a = base + rng.normal(scale=0.05, size=base.shape).astype(np.float32)
+    b = base + rng.normal(scale=0.05, size=base.shape).astype(np.float32)
+    f_ex, b_ex = nn_mutual(jnp.asarray(a), jnp.asarray(b))
+    f_ap, b_ap = nn_mutual(jnp.asarray(a), jnp.asarray(b), approx=True)
+    # identical point sets with small jitter: matches are well separated
+    assert (np.asarray(f_ex) == np.asarray(f_ap)).mean() > 0.99
+    assert (np.asarray(b_ex) == np.asarray(b_ap)).mean() > 0.99

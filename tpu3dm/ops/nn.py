@@ -346,6 +346,8 @@ def nn_mutual(
     b: jax.Array,
     mask_a: jax.Array | None = None,
     mask_b: jax.Array | None = None,
+    *,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward AND backward top-1 NN from ONE distance matrix.
 
@@ -357,6 +359,13 @@ def nn_mutual(
     BOTH constants added serves both reductions — masked rows/columns are
     pushed unreachably far by the masked squared norms.
 
+    ``approx=True`` runs the cross matmul with bf16 inputs (fp32 accumulate,
+    one MXU pass instead of the 3-pass fp32 emulation).  FPFH histograms
+    span ~0-200 with coarse geometry-driven structure, so ~0.4% bf16
+    rounding flips only near-tie argmins — and RANSAC's entire job is
+    tolerating wrong correspondences (the bench quality gate verifies
+    end-to-end).
+
     Returns:
       (idx_fwd [..., Na], idx_bwd [..., Nb]): for each a its nearest b, and
       for each b its nearest a.  Supports leading batch dims (dense path).
@@ -364,7 +373,18 @@ def nn_mutual(
     if a.shape[-2] * b.shape[-2] <= DENSE_MAX_ENTRIES:
         _, asq = _prep(a, mask_a)
         _, bsq = _prep(b, mask_b)
-        cross = jnp.einsum("...nd,...md->...nm", a, b)
+        if approx:
+            cross = jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                dimension_numbers=(
+                    ((a.ndim - 1,), (b.ndim - 1,)),
+                    (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2))),
+                ),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            cross = jnp.einsum("...nd,...md->...nm", a, b)
         d2 = asq[..., :, None] + bsq[..., None, :] - 2.0 * cross
         idx_fwd = jnp.argmin(d2, axis=-1).astype(jnp.int32)
         idx_bwd = jnp.argmin(d2, axis=-2).astype(jnp.int32)

@@ -110,6 +110,7 @@ def _ransac_with_rescue(
         "icp_solves_per_nn",
         "mutual_filter",
         "approx_score",
+        "approx_features",
         "rescue_restarts",
         "verify_iters",
     ),
@@ -133,6 +134,7 @@ def fused_register_step(
     icp_solves_per_nn: int = 1,
     mutual_filter: bool = True,
     approx_score: bool = False,
+    approx_features: bool = False,
     rescue_restarts: int = 0,
     verify_iters: int = 8,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -158,8 +160,12 @@ def fused_register_step(
     # --- correspondences in FPFH space -------------------------------------
     valid = src_mask
     if mutual_filter:
-        # One distance matrix, two axis reductions (ops/nn.py nn_mutual).
-        idx_fwd, idx_bwd = nn_mutual(src_feat, tgt_feat, src_mask, tgt_mask)
+        # One distance matrix, two axis reductions (ops/nn.py nn_mutual);
+        # approx_features runs the 33-D feature matmul in bf16 (quality-gated
+        # end-to-end by the bench; RANSAC tolerates flipped near-tie matches).
+        idx_fwd, idx_bwd = nn_mutual(
+            src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
+        )
         ns = src_pts.shape[0]
         valid = valid & (idx_bwd[idx_fwd] == jnp.arange(ns, dtype=jnp.int32))
     else:
