@@ -45,7 +45,9 @@ ICP_ITERS = 8
 #   1 solve/NN: 5045 pairs/s, rot_err 0.059 deg
 #   2 solves/NN: 6705 pairs/s, rot_err 0.062 deg
 #   4 solves/NN: 8098 pairs/s, rot_err 0.081 deg, align rmse 0.0037
-# All far inside the gate (2 deg / 0.1); production APIs default to 2.
+#   8 solves/NN (ONE correspondence search): 11,323 pairs/s but worst-lane
+#     rot_err 0.618 deg vs 0.163 — a 4x quality hit for +16%, rejected.
+# All inside the gate (2 deg / 0.1); production APIs default to 2.
 ICP_SOLVES_PER_NN = 4
 # bf16 score matmul on centered coordinates; the elected winner is exactly
 # re-fit + re-counted, so final transforms keep fp32 quality (gate-verified).
