@@ -173,3 +173,27 @@ def test_multiway_benchmark_smoke(tmp_path):
                       "rot_err_deg_max", "min_edge_fitness"}
     assert r["edges_per_sec"] > 0
     assert json.loads(out.read_text())["config"]["n_clouds"] == 3
+
+
+def test_cli_trace_animation(small_pair_files, tmp_path):
+    """--out-anim: animated replay (reference GUI animation analog) with one
+    frame per trace row, each carrying that chunk's best transform."""
+    from tpu3dm.apps.cli import main
+
+    src, tgt, _ = small_pair_files
+    out = tmp_path / "tr.jsonl"
+    anim = tmp_path / "anim.html"
+    rc = main([
+        "trace", str(src), str(tgt), "--update-interval", "256",
+        "--out", str(out), "--out-anim", str(anim),
+    ])
+    assert rc == 0
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert all("best_T" in r for r in rows)
+    # every best_T is a valid rigid transform (orthonormal rotation block)
+    T_last = np.asarray(rows[-1]["best_T"])
+    R = T_last[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    html = anim.read_text()
+    assert '"frames"' in html and "scrub" in html
+    assert html.count('"T"') == len(rows)

@@ -192,6 +192,14 @@ def _cmd_trace(args) -> int:
             info=f"traced RANSAC best fitness={float(result.fitness):.3f}",
         )
         logger.info("wrote %s", args.out_html)
+    if args.out_anim:
+        from tpu3dm.viz.export import export_ransac_animation_html
+
+        export_ransac_animation_html(
+            args.out_anim, src.down, tgt.down, trace,
+            info=f"traced RANSAC best fitness={float(result.fitness):.3f}",
+        )
+        logger.info("wrote %s (%d frames)", args.out_anim, len(trace))
     return 0
 
 
@@ -373,6 +381,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="ransac_trace.jsonl")
     p.add_argument("--out-html", default=None)
+    p.add_argument("--out-anim", default=None,
+                   help="animated HTML replay of the search (the headless "
+                        "analog of the GUI's live iteration animation)")
     p.set_defaults(fn=_cmd_trace)
 
     p = sub.add_parser(

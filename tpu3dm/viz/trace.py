@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -105,6 +107,10 @@ def traced_ransac(
             "current_fitness": round(cur_fit, 4),
             "best_fitness": round(best_fit, 4),
             "early_stop": False,
+            # Per-chunk best pose: lets viz/export.py replay the search the
+            # way the reference GUI animated it (_visualize_matcher.py:
+            # 452-466 updates the displayed cloud every update_interval).
+            "best_T": np.asarray(best_T, np.float64).round(6).tolist(),
         }
         if best_fit > early_stop_threshold:
             required = compute_required_iterations(best_fit, early_stop_confidence)
