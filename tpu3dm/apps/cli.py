@@ -38,10 +38,14 @@ def _cmd_register(args) -> int:
     from tpu3dm.viz.export import export_registration_html, export_registration_ply
 
     cfg = PipelineConfig.with_voxel_size(args.voxel_size)
-    if args.noise_sigma > 0:
+    noise = args.noise_sigma
+    if getattr(args, "reference_noise", False):
+        # Reference parity run: the always-on loader noise (ply.py:59-62).
+        noise = cfg.preprocess.reference_noise_sigma
+    if noise > 0:
         cfg = PipelineConfig(
             preprocess=PreprocessConfig(
-                voxel_size=args.voxel_size, noise_sigma=args.noise_sigma
+                voxel_size=args.voxel_size, noise_sigma=noise
             ),
             ransac=cfg.ransac,
             icp=cfg.icp,
@@ -325,6 +329,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voxel-size", type=float, default=0.3)
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="loader Gaussian noise (reference always-on value: 0.05)")
+    p.add_argument("--reference-noise", action="store_true",
+                   help="parity run: inject the reference's always-on loader "
+                        "noise (PreprocessConfig.reference_noise_sigma=0.05, "
+                        "ply.py:59-62)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-ply", default=None)
     p.add_argument("--out-html", default=None)

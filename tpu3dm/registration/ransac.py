@@ -342,6 +342,14 @@ def global_registration(
         gather_pairs,
     )
 
+    if config.sample_size != 3:
+        # The planar triangle-frame fit (hypotheses.py) and the confidence
+        # formula specialize the reference's minimal 3-point sample
+        # (ransac.py:50); other sizes are not implemented.
+        raise NotImplementedError(
+            f"sample_size={config.sample_size}: only 3-point minimal samples "
+            "are supported (reference ransac.py:50)"
+        )
     if pairs is None:
         k_corr, key = jax.random.split(key)
         pairs, pairs_valid = feature_correspondences(
