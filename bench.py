@@ -72,6 +72,9 @@ PAIR_BATCH = int(_os.environ.get("TPU3DM_BENCH_BATCH", PAIR_BATCH))
 RANSAC_HYPOTHESES = int(_os.environ.get("TPU3DM_BENCH_HYPS", RANSAC_HYPOTHESES))
 TIMED_REPS = int(_os.environ.get("TPU3DM_BENCH_REPS", TIMED_REPS))
 _N_POINTS = int(_os.environ.get("TPU3DM_BENCH_POINTS", 20_000))
+# The distinct-pair phase tiles DISTINCT_PAIRS pairs across the batch, so
+# the batch must be a positive multiple of it (env overrides included).
+PAIR_BATCH = max(DISTINCT_PAIRS, PAIR_BATCH - PAIR_BATCH % DISTINCT_PAIRS)
 
 
 def log(*a):
@@ -158,16 +161,26 @@ def main() -> None:
     M_all = T_all[:, :3, :3] @ T_true[:3, :3].T  # [B, 3, 3]
     tr = np.clip((np.trace(M_all, axis1=1, axis2=2) - 1) / 2, -1, 1)
     rot_errs = np.degrees(np.arccos(tr))
-    worst = int(np.argmax(rot_errs))
-    rot_err = float(rot_errs[worst])
-    T_est = T_all[worst]
-    moved = src_pts @ T_est[:3, :3].T + T_est[:3, 3]
-    expect = src_pts @ T_true[:3, :3].T + T_true[:3, 3]
-    rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+    rot_err = float(rot_errs.max())
+    # Per-lane alignment RMSE in closed form from the cloud's second moments
+    # (materializing [B, N, 3] moved clouds would be GBs):
+    #   moved - expect = A p + b,  A = R_est - R_true,  b = t_est - t_true
+    #   mean|Ap+b|^2 = tr(A M2 A^T) + 2 b^T A mu + |b|^2.
+    mu = src_pts.mean(axis=0)
+    M2 = src_pts.T @ src_pts / src_pts.shape[0]
+    A = T_all[:, :3, :3] - T_true[:3, :3]
+    b = T_all[:, :3, 3] - T_true[:3, 3]
+    rmse_sq = (
+        np.einsum("bij,jk,bik->b", A, M2, A)
+        + 2.0 * np.einsum("bi,bij,j->b", b, A, mu)
+        + (b * b).sum(1)
+    )
+    rmses = np.sqrt(np.maximum(rmse_sq, 0.0))
+    rmse = float(rmses.max())
     fit_all = np.asarray(out[1])
     fit_min = float(fit_all.min())
-    log(f"quality (worst of {PAIR_BATCH} lanes): rot_err={rot_err:.3f} deg, "
-        f"alignment rmse={rmse:.4f}, ransac_fitness min={fit_min:.3f} "
+    log(f"quality (worst of {PAIR_BATCH} lanes): rot_err max={rot_err:.3f} deg, "
+        f"alignment rmse max={rmse:.4f}, ransac_fitness min={fit_min:.3f} "
         f"median={float(np.median(fit_all)):.3f}")
 
     # Pre-split all keys: eager jax.random ops inside the timed loop would
@@ -255,9 +268,24 @@ def main() -> None:
     Md = Td_all[:, :3, :3] @ np.swapaxes(Ttrue_tiled[:, :3, :3], 1, 2)
     trd = np.clip((np.trace(Md, axis1=1, axis2=2) - 1) / 2, -1, 1)
     distinct_rot_err_max = float(np.degrees(np.arccos(trd)).max())
+    # Closed-form per-lane RMSE (same moments trick as the headline gate),
+    # with per-pair source moments tiled to the batch.
+    srcs = [src_pts] + [raw[i] for i in range(0, len(raw), 2)]
+    mus = np.stack([p_.mean(axis=0) for p_ in srcs])
+    M2s = np.stack([p_.T @ p_ / p_.shape[0] for p_ in srcs])
+    mu_t = np.tile(mus, (PAIR_BATCH // dp, 1))
+    M2_t = np.tile(M2s, (PAIR_BATCH // dp, 1, 1))
+    Ad = Td_all[:, :3, :3] - Ttrue_tiled[:, :3, :3]
+    bd = Td_all[:, :3, 3] - Ttrue_tiled[:, :3, 3]
+    drmse_sq = (
+        np.einsum("bij,bjk,bik->b", Ad, M2_t, Ad)
+        + 2.0 * np.einsum("bi,bij,bj->b", bd, Ad, mu_t)
+        + (bd * bd).sum(1)
+    )
+    distinct_rmse_max = float(np.sqrt(np.maximum(drmse_sq, 0.0)).max())
     log(f"distinct-pair quality: rot_err max over {PAIR_BATCH} lanes = "
-        f"{distinct_rot_err_max:.3f} deg, fitness min = "
-        f"{float(np.asarray(out_d[1]).min()):.3f}")
+        f"{distinct_rot_err_max:.3f} deg, rmse max = {distinct_rmse_max:.4f}, "
+        f"fitness min = {float(np.asarray(out_d[1]).min()):.3f}")
     dtimes = []
     for _ in range(3):
         t0 = time.time()
@@ -369,6 +397,10 @@ def _emit(ns) -> None:
         "distinct_pairs_per_sec": round(dps, 2) if dps else None,
         "distinct_pairs_bucketed_per_sec": round(bps, 2) if bps else None,
         "distinct_rot_err_deg_worst_lane": round(drem, 3) if drem is not None else None,
+        "distinct_rmse_worst_lane": (
+            round(ns["distinct_rmse_max"], 4)
+            if ns.get("distinct_rmse_max") is not None else None
+        ),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -210,3 +210,22 @@ class TestShardedIcpDegenerate:
             dist_thresh=0.3, max_iterations=5, point_to_plane=False,
         )
         assert np.all(np.isfinite(np.asarray(res.transformation)))
+
+
+def test_positive_octant_uneven_counts_no_pad_steal(mesh8):
+    """Regression (round-2 code review): dense-path pads filled with 1e30
+    coordinates let pad rows WIN the argmin on positive-octant clouds (the
+    -2*q.t cross term overwhelmed nn_search's |t|^2 masking bias), poisoning
+    the normal equations (NaN transform, fitness 0).  Pads are zero-filled
+    + masked now; this pins the exact repro."""
+    pts = dental_arch_cloud(2001, seed=0) + 3.0  # positive octant, N % 8 != 0
+    rng = np.random.default_rng(0)
+    tgt = (pts + 0.005 * rng.standard_normal(pts.shape)).astype(np.float32)
+    res = icp_refine_sharded(
+        mesh8, pts, tgt, jnp.eye(4),
+        dist_thresh=0.3, max_iterations=5, point_to_plane=False,
+    )
+    T = np.asarray(res.transformation)
+    assert np.all(np.isfinite(T)), T
+    assert float(res.fitness) > 0.99
+    np.testing.assert_allclose(T, np.eye(4), atol=5e-3)

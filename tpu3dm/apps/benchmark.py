@@ -681,9 +681,8 @@ def run_scaling_model(
             if case["name"].startswith("nn_pallas_65536x65536_d3"):
                 rate = case["entries_per_sec"]
                 break
-        hw = roof.get("hardware_model", {})
     except (OSError, json.JSONDecodeError):
-        roof, hw = {}, {}
+        pass
     if rate is None:
         rate = 9.0e10  # v5e measured fallback (kernel_roofline.json r1)
     ici_bytes_per_s = 45e9  # v5e ICI, one link, one direction

@@ -72,10 +72,13 @@ def _cmd_register(args) -> int:
         # block-sparse full-resolution ICP (registration/large.py).
         from tpu3dm.registration.large import register_arrays_large
 
+        # None = keep the large path's own default (4 verified restarts —
+        # the alias rescue this path was built around); an explicit
+        # --restarts N overrides it.
         fine, coarse = register_arrays_large(
             np.asarray(s), np.asarray(t), cfg,
             key=jax.random.PRNGKey(args.seed),
-            restarts=args.restarts,
+            restarts=args.restarts if args.restarts is not None else 4,
         )
         T = np.asarray(fine.transformation)
         print(json.dumps({
@@ -114,7 +117,8 @@ def _cmd_register(args) -> int:
     tgt = preprocess_points(np.asarray(t), cfg.preprocess)
 
     out = register_pair(
-        src, tgt, cfg, key=jax.random.PRNGKey(args.seed), restarts=args.restarts
+        src, tgt, cfg, key=jax.random.PRNGKey(args.seed),
+        restarts=args.restarts if args.restarts is not None else 1,
     )
     T = np.asarray(out.transformation)
     print(json.dumps({
@@ -239,10 +243,15 @@ def _cmd_register_batch(args) -> int:
         from tpu3dm.multiway.checkpoint import CheckpointStore
 
         store = CheckpointStore(args.checkpoint_dir)
-        pair_names = [f"{a}\t{b}" for a, b in pair_paths]
+        # The run configuration is part of the record key: re-running with a
+        # different voxel size / seed / budget must NOT return stale results
+        # computed under the old config (it recomputes into new records).
+        cfg_tag = f"v{args.voxel_size}/s{args.seed}/r{args.ransac_iterations}"
+        pair_names = [f"{a}\t{b}\t{cfg_tag}" for a, b in pair_paths]
         store.write_manifest(
             kind="register-batch", n_pairs=len(pair_paths),
             voxel_size=args.voxel_size, seed=args.seed,
+            ransac_iterations=args.ransac_iterations,
         )
         # Skip ingest for clouds only needed by already-completed pairs.
         pending = {
@@ -339,9 +348,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--large", action="store_true", default=None,
                    help="force the large-cloud path (block-sparse NN ICP); "
                         "auto-selected above 200k points")
-    p.add_argument("--restarts", type=int, default=1,
+    p.add_argument("--restarts", type=int, default=None,
                    help="ICP-verified RANSAC restarts (>1 rescues "
-                        "near-symmetric clouds whose inlier counts tie)")
+                        "near-symmetric clouds whose inlier counts tie); "
+                        "default: 1 standard path, 4 large path")
     p.set_defaults(fn=_cmd_register)
 
     p = sub.add_parser("bench", help="comprehensive benchmark (benchmark_ransac.py parity)")

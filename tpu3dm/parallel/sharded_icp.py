@@ -136,9 +136,9 @@ def _icp_sharded_jit(
         def ring_correspond(T):
             """Fold (best_d2, q, n) for the local source shard over the ring."""
             pts = se3.apply(T, src)
-            # Masked source rows keep their sentinel coordinates (T would
-            # move them): _BIG pads on the dense path, SPARSE_PAD (inside
-            # fp32 when squared) on the block-sparse path.
+            # Masked source rows keep their pad coordinates (T would move
+            # them): zeros on the dense path (masks exclude them from m/J),
+            # SPARSE_PAD spatial sentinels on the block-sparse path.
             pts = jnp.where(smask[:, None], pts, src)
 
             def step(i, carry):
@@ -308,8 +308,12 @@ def icp_refine_sharded(
         if nrm_p is None:
             nrm_p = np.zeros_like(tgt_p)
     else:
-        src_p = _pad_shards(src_np, nb, fill=_BIG)
-        tgt_p = _pad_shards(tgt_np, nb, fill=_BIG)
+        # Zero-fill pads, NOT huge sentinels: a 1e30 coordinate makes the
+        # -2*q.t cross term comparable to nn_search's BIG masking bias, so
+        # pad rows could win the argmin with a clamped d2=0 (confirmed NaN
+        # on positive-octant clouds).  Masks exclude pads on both sides.
+        src_p = _pad_shards(src_np, nb, fill=0.0)
+        tgt_p = _pad_shards(tgt_np, nb, fill=0.0)
         smask = np.arange(src_p.shape[0]) < ns
         tmask = np.arange(tgt_p.shape[0]) < nt
         if tgt_normals is not None:
