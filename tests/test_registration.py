@@ -232,21 +232,25 @@ class TestICP:
         )
         np.testing.assert_allclose(np.asarray(res.transformation), T, atol=2e-2)
 
-    def test_relative_convergence_semantics(self):
-        """Convergence checks RELATIVE fitness/RMSE change (Open3D
-        ICPConvergenceCriteria semantics — VERDICT round 1 item 6), pinned
-        by iteration counts on a known pair."""
+    def test_convergence_semantics(self):
+        """Convergence compares ABSOLUTE fitness/RMSE deltas against the
+        relative_fitness/relative_rmse knobs — Open3D's actual
+        ICPConvergenceCriteria behavior despite the field names
+        (Registration.cpp) — pinned by iteration counts on a known pair."""
         src, tgt, T = self._clouds(n=3000, seed=5)
         loose = icp_refine(
             src, tgt, jnp.eye(4), dist_thresh=0.4, max_iterations=50,
             relative_fitness=0.5, relative_rmse=0.5,
         )
         tight = icp_refine(src, tgt, jnp.eye(4), dist_thresh=0.4, max_iterations=50)
-        # A 50% relative tolerance converges almost immediately; the 1e-6
-        # default keeps polishing to the iteration cap on this noisy pair.
-        assert int(loose.iterations) <= 8
+        # A 0.5 absolute tolerance converges almost immediately (2 iters);
+        # the 1e-6 default polishes until the absolute deltas plateau — an
+        # EARLY stop (9-19 iters depending on XLA reduction order), NOT the
+        # iteration cap, which is exactly the Open3D behavior the
+        # relative-semantics variant broke (it ran to the cap here).
+        assert int(loose.iterations) <= 4
         assert int(loose.iterations) < int(tight.iterations)
-        assert int(tight.iterations) == 50
+        assert 6 <= int(tight.iterations) < 50
         assert float(tight.fitness) > 0.99
 
     def test_converged_early(self):

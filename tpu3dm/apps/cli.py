@@ -246,12 +246,14 @@ def _cmd_register_batch(args) -> int:
         # The run configuration is part of the record key: re-running with a
         # different voxel size / seed / budget must NOT return stale results
         # computed under the old config (it recomputes into new records).
-        cfg_tag = f"v{args.voxel_size}/s{args.seed}/r{args.ransac_iterations}"
+        cfg_tag = (f"v{args.voxel_size}/s{args.seed}/r{args.ransac_iterations}"
+                   f"/x{args.rescue_restarts}")
         pair_names = [f"{a}\t{b}\t{cfg_tag}" for a, b in pair_paths]
         store.write_manifest(
             kind="register-batch", n_pairs=len(pair_paths),
             voxel_size=args.voxel_size, seed=args.seed,
             ransac_iterations=args.ransac_iterations,
+            rescue_restarts=args.rescue_restarts,
         )
         # Skip ingest for clouds only needed by already-completed pairs.
         pending = {

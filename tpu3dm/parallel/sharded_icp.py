@@ -186,7 +186,9 @@ def _icp_sharded_jit(
 
         def solve_step(T):
             pts, q, nrm, m, fitness, rmse = ring_correspond(T)
-            w = m.astype(jnp.float32)
+            # "wgt", not "w": the kernel closes over the static block-sparse
+            # candidate width ``w`` — shadowing it here would be a trap.
+            wgt = m.astype(jnp.float32)
             if point_to_plane:
                 r = jnp.sum((pts - q) * nrm, axis=1)
                 J = jnp.concatenate([nrm, jnp.cross(pts, nrm)], axis=1)
@@ -196,13 +198,12 @@ def _icp_sharded_jit(
                 Jw = -se3.hat(pts)
                 J = jnp.concatenate([eye, Jw], axis=2).reshape(-1, 6)
                 r = r3.reshape(-1)
-                w = jnp.repeat(w, 3)
-            # w is binary (w^2 == w), so masking J/r directly both weights
-            # the normal equations AND zeroes the sentinel source rows
-            # (coordinates ~1e30) BEFORE products that would overflow to
-            # inf and poison the psum with inf * 0 = nan.
-            J = J * w[:, None]
-            r = r * w
+                wgt = jnp.repeat(wgt, 3)
+            # wgt is binary (wgt^2 == wgt), so masking J/r directly both
+            # weights the normal equations AND zeroes the pad source rows
+            # BEFORE products that could overflow and poison the psum.
+            J = J * wgt[:, None]
+            r = r * wgt
             A_local = jnp.einsum("ni,nj->ij", J, J)
             b_local = -jnp.einsum("ni,n->i", J, r)
             A = jax.lax.psum(A_local, BLOCK_AXIS)
@@ -219,9 +220,12 @@ def _icp_sharded_jit(
         def body(state):
             it, T, f_cur, r_cur, _ = state
             T_new, f_new, r_new = solve_step(T)
+            # Absolute deltas: Open3D's ICPConvergenceCriteria compares
+            # absolute fitness/RMSE changes despite its "relative_*" field
+            # names (matching registration/icp.py).
             converged = (
-                (jnp.abs(f_new - f_cur) < relative_fitness * jnp.maximum(f_new, 1e-12))
-                & (jnp.abs(r_new - r_cur) < relative_rmse * jnp.maximum(r_new, 1e-12))
+                (jnp.abs(f_new - f_cur) < relative_fitness)
+                & (jnp.abs(r_new - r_cur) < relative_rmse)
                 & (it > 0)
             )
             return it + 1, T_new, f_new, r_new, converged

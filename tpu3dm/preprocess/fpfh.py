@@ -199,31 +199,17 @@ def _pair_features(qp, qn, pj, nj, dp, dist, nb):
     return theta, alpha, phi
 
 
-@functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
-def compute_fpfh_capped(
-    pc: PointCloud,
-    radius: jax.Array | float,
-    *,
-    max_nn: int = 100,
-    chunk: int = 1024,
+def fpfh_from_knn(
+    pc: PointCloud, d2: jax.Array, idx: jax.Array, valid: jax.Array
 ) -> PointCloud:
-    """33-D FPFH with Open3D-exact semantics and the max_nn neighbour cap.
+    """Open3D-exact FPFH from precomputed hybrid-search slots.
 
-    Matches ``o3d.pipelines.registration.compute_fpfh_feature`` with
-    ``KDTreeSearchParamHybrid(radius, max_nn)`` (reference: ply.py:117-120).
-    Requires normals.
+    Core of ``compute_fpfh_capped``, split out so the ingest pipeline can
+    feed both this and the capped normals from ONE nn_topk scan.
     """
-    from tpu3dm.ops.topk import nn_topk
-
     pts = jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL)
     nrm = pc.normals
     n = pts.shape[0]
-
-    # Hybrid search: k nearest within radius, self included as the d2=0 hit
-    # (Open3D iterates neighbours from k=1); cap k at max_nn like Open3D.
-    d2, idx, valid = nn_topk(
-        pts, pts, pc.mask, pc.mask, k=min(max_nn, n), radius=radius, chunk=chunk
-    )
     nb = valid & (d2 > _EPS)  # true neighbours: in radius, not self
 
     pj = pts[idx]
@@ -262,3 +248,30 @@ def compute_fpfh_capped(
     fpfh = acc * jnp.repeat(scale, _NBINS, axis=1) + spfh
     fpfh = jnp.where(pc.mask[:, None], fpfh, 0.0)
     return pc.with_(features=fpfh)
+
+
+@functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
+def compute_fpfh_capped(
+    pc: PointCloud,
+    radius: jax.Array | float,
+    *,
+    max_nn: int = 100,
+    chunk: int = 1024,
+) -> PointCloud:
+    """33-D FPFH with Open3D-exact semantics and the max_nn neighbour cap.
+
+    Matches ``o3d.pipelines.registration.compute_fpfh_feature`` with
+    ``KDTreeSearchParamHybrid(radius, max_nn)`` (reference: ply.py:117-120).
+    Requires normals.
+    """
+    from tpu3dm.ops.topk import nn_topk
+
+    pts = jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL)
+    n = pts.shape[0]
+
+    # Hybrid search: k nearest within radius, self included as the d2=0 hit
+    # (Open3D iterates neighbours from k=1); cap k at max_nn like Open3D.
+    d2, idx, valid = nn_topk(
+        pts, pts, pc.mask, pc.mask, k=min(max_nn, n), radius=radius, chunk=chunk
+    )
+    return fpfh_from_knn(pc, d2, idx, valid)

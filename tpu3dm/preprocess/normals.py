@@ -182,6 +182,32 @@ def estimate_normals(
     return pc.with_(normals=v)
 
 
+def normals_from_knn(
+    pc: PointCloud, idx: jax.Array, valid: jax.Array
+) -> PointCloud:
+    """Normals from precomputed kNN slots (idx [N,K], valid [N,K]).
+
+    Core of ``estimate_normals_capped``, split out so the ingest pipeline can
+    feed both this and the capped FPFH from ONE nn_topk scan (the slots are
+    distance-ascending, so the first k_normals slots re-masked by the normal
+    radius are exactly the hybrid-search neighbour set).
+    """
+    pj = pc.points[idx]  # [N, K, 3]
+    w = valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.einsum("nk,nkd->nd", w, pj) / cnt[:, None]
+    c = pj - mean[:, None, :]
+    c = c * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
+    _, v = smallest_eigvec_sym3(cov)
+    ctr = pc.centroid()
+    outward = pc.points - ctr[None, :]
+    flip = jnp.sum(v * outward, axis=1) < 0.0
+    v = jnp.where(flip[:, None], -v, v)
+    v = jnp.where(pc.mask[:, None], v, 0.0)
+    return pc.with_(normals=v)
+
+
 @functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
 def estimate_normals_capped(
     pc: PointCloud,
@@ -200,7 +226,7 @@ def estimate_normals_capped(
     from tpu3dm.ops.topk import nn_topk
 
     n = pc.points.shape[0]
-    d2, idx, valid = nn_topk(
+    _, idx, valid = nn_topk(
         jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL),
         jnp.where(pc.mask[:, None], pc.points, PAD_SENTINEL),
         pc.mask,
@@ -209,17 +235,4 @@ def estimate_normals_capped(
         radius=radius,
         chunk=chunk,
     )
-    pj = pc.points[idx]  # [N, K, 3]
-    w = valid.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mean = jnp.einsum("nk,nkd->nd", w, pj) / cnt[:, None]
-    c = pj - mean[:, None, :]
-    c = c * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
-    _, v = smallest_eigvec_sym3(cov)
-    ctr = pc.centroid()
-    outward = pc.points - ctr[None, :]
-    flip = jnp.sum(v * outward, axis=1) < 0.0
-    v = jnp.where(flip[:, None], -v, v)
-    v = jnp.where(pc.mask[:, None], v, 0.0)
-    return pc.with_(normals=v)
+    return normals_from_knn(pc, idx, valid)

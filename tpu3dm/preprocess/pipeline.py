@@ -60,6 +60,7 @@ def _features_impl(
     normal_max_nn: int,
     fpfh_max_nn: int,
     full_normal_max_nn: int,
+    share_knn: bool = True,
 ) -> tuple[PointCloud, PointCloud]:
     """Down-cloud normals + FPFH and full-cloud normals in ONE dispatch.
 
@@ -70,27 +71,80 @@ def _features_impl(
     max_nn > 0 selects the Open3D-parity capped paths (hybrid search
     semantics, reference ply.py:110-120); 0 selects the uncapped
     all-radius-neighbours fast paths.
+
+    See ``down_features`` for the shared-scan optimisation ``share_knn``
+    selects.
     """
-    if normal_max_nn > 0:
-        down = estimate_normals_capped(down, normal_radius, max_nn=normal_max_nn)
-    else:
-        down = estimate_normals(down, normal_radius)
+    down = down_features(
+        down,
+        normal_radius,
+        fpfh_radius,
+        normal_max_nn=normal_max_nn,
+        fpfh_max_nn=fpfh_max_nn,
+        share_knn=share_knn,
+    )
     # Full-res normals get their own cap knob: the k-selection at full
     # resolution costs 14.6x the covariance fast path on TPU (config.py).
     if full_normal_max_nn > 0:
         full = estimate_normals_capped(full, normal_radius, max_nn=full_normal_max_nn)
     else:
         full = estimate_normals(full, normal_radius)
-    if fpfh_max_nn > 0:
-        down = compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn)
-    else:
-        down = compute_fpfh(down, fpfh_radius)
     return down, full
+
+
+def down_features(
+    down: PointCloud,
+    normal_radius: jax.Array | float,
+    fpfh_radius: jax.Array | float,
+    *,
+    normal_max_nn: int,
+    fpfh_max_nn: int,
+    share_knn: bool,
+) -> PointCloud:
+    """Down-cloud normals + FPFH, sharing one kNN scan when semantics allow.
+
+    When both stages are capped with normal_max_nn <= fpfh_max_nn (the
+    Open3D defaults, 30 <= 100) and ``share_knn`` certifies normal_radius <=
+    fpfh_radius (the reference's 2*voxel <= 5*voxel — certified host-side
+    because the radii may be traced here), ONE k=fpfh_max_nn top-k scan
+    serves both stages: slots are distance-ascending, so every in-normal-
+    radius point precedes every out-of-radius one and the first
+    normal_max_nn slots re-masked by the normal radius are exactly the
+    hybrid-search neighbour set.  The k-selection scan dominates ingest
+    (14.6x the covariance cost — config.py), so sharing it halves the hot
+    path.
+    """
+    if share_knn and 0 < normal_max_nn <= fpfh_max_nn:
+        from tpu3dm.core.cloud import PAD_SENTINEL
+        from tpu3dm.ops.topk import nn_topk
+        from tpu3dm.preprocess.fpfh import fpfh_from_knn
+        from tpu3dm.preprocess.normals import normals_from_knn
+
+        pts = jnp.where(down.mask[:, None], down.points, PAD_SENTINEL)
+        n = pts.shape[0]
+        k_n = min(normal_max_nn, n)
+        d2, idx, valid = nn_topk(
+            pts, pts, down.mask, down.mask,
+            k=min(fpfh_max_nn, n), radius=fpfh_radius,
+        )
+        r2_n = jnp.asarray(normal_radius, jnp.float32) ** 2
+        nvalid = valid[:, :k_n] & (d2[:, :k_n] <= r2_n)
+        down = normals_from_knn(down, idx[:, :k_n], nvalid)
+        return fpfh_from_knn(down, d2, idx, valid)
+    if normal_max_nn > 0:
+        down = estimate_normals_capped(down, normal_radius, max_nn=normal_max_nn)
+    else:
+        down = estimate_normals(down, normal_radius)
+    if fpfh_max_nn > 0:
+        return compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn)
+    return compute_fpfh(down, fpfh_radius)
 
 
 _features_device = jax.jit(
     _features_impl,
-    static_argnames=("normal_max_nn", "fpfh_max_nn", "full_normal_max_nn"),
+    static_argnames=(
+        "normal_max_nn", "fpfh_max_nn", "full_normal_max_nn", "share_knn"
+    ),
 )
 
 
@@ -98,13 +152,17 @@ _features_device = jax.jit(
 # built inside preprocess_points_batch would recompile on every invocation.
 @functools.lru_cache(maxsize=None)
 def _features_device_batched(
-    normal_max_nn: int, fpfh_max_nn: int, full_normal_max_nn: int
+    normal_max_nn: int,
+    fpfh_max_nn: int,
+    full_normal_max_nn: int,
+    share_knn: bool,
 ):
     fn = functools.partial(
         _features_impl,
         normal_max_nn=normal_max_nn,
         fpfh_max_nn=fpfh_max_nn,
         full_normal_max_nn=full_normal_max_nn,
+        share_knn=share_knn,
     )
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, None, None)))
 
@@ -141,6 +199,9 @@ def preprocess_points(
             normal_max_nn=config.normal_max_nn,
             fpfh_max_nn=config.fpfh_max_nn,
             full_normal_max_nn=config.full_normal_max_nn,
+            # Radius ordering is certified host-side (radii are traced in
+            # the compiled program); the shared scan needs nr <= fr.
+            share_knn=config.normal_radius <= config.fpfh_radius,
         )
 
     if config.noise_sigma > 0.0:
@@ -187,7 +248,10 @@ def preprocess_points_batch(
     full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
 
     down_b, full_b = _features_device_batched(
-        config.normal_max_nn, config.fpfh_max_nn, config.full_normal_max_nn
+        config.normal_max_nn,
+        config.fpfh_max_nn,
+        config.full_normal_max_nn,
+        config.normal_radius <= config.fpfh_radius,
     )(
         down_in,
         full_in,

@@ -95,8 +95,14 @@ def _ransac_with_rescue(
         return T, fit, rmse
 
     vT, vfit, vrmse = jax.vmap(verify)(cands)
-    # fitness dominates; rmse (bounded by thresh) breaks near-ties.
-    score = vfit - vrmse / jnp.float32(dist_thresh) * 0.5
+    # Strictly lexicographic (fitness, -rmse) election, matching the
+    # host-loop scorer in registration/large.py: fitness is quantized to
+    # 1/n_src, so scaling it to integer inlier counts and packing the rmse
+    # tie-break into the fractional digit keeps fitness strictly dominant
+    # (an additive rmse term of comparable magnitude could override real
+    # fitness gaps on partial-overlap pairs).
+    rmse_frac = jnp.clip(vrmse / jnp.float32(dist_thresh), 0.0, 1.0)
+    score = jnp.round(vfit * n_src) + (1.0 - rmse_frac) * 0.999
     best = jnp.argmax(score)
     return vT[best], ccounts[best]
 

@@ -3,7 +3,9 @@
 Replaces Open3D's ``registration_icp`` (reference: src/matcher/icp.py:17-48 —
 point-to-plane metric, threshold 0.4*voxel, full-resolution clouds, init from
 RANSAC).  Convergence criteria mirror Open3D's ICPConvergenceCriteria
-defaults: relative fitness/RMSE 1e-6, max 30 iterations.
+defaults: knobs named relative_fitness/relative_rmse = 1e-6, max 30
+iterations — and Open3D's actual comparison, which is the ABSOLUTE delta of
+fitness/RMSE between consecutive iterations despite the field names.
 
 TPU-native structure: one `lax.while_loop` whose body is
     transform -> NN search (tiled distance kernel) -> masked 6x6 normal
@@ -100,13 +102,15 @@ def icp_refine(
     def body(state):
         it, T, f_prev, r_prev, f_cur, r_cur, _ = state
         T_new, f_new, rmse_new = solve_step(T)
-        # RELATIVE change of fitness/RMSE between consecutive iterations, the
-        # Open3D ICPConvergenceCriteria semantics the knobs are named after
-        # (reference: src/matcher/icp.py:42-48).  Round 1 compared absolute
-        # deltas, ~2.5x tighter at fitness ~0.4 (VERDICT item 6).
+        # Open3D's ICPConvergenceCriteria compares ABSOLUTE deltas of
+        # fitness/RMSE against fields *named* relative_fitness/relative_rmse
+        # (Registration.cpp: ``std::abs(backup.fitness_ - result.fitness_) <
+        # criteria.relative_fitness_``).  We keep the reference's knob names
+        # AND its actual behavior — absolute deltas — so iteration counts
+        # match ``registration_icp`` (reference: src/matcher/icp.py:42-48).
         converged = (
-            (jnp.abs(f_new - f_cur) < relative_fitness * jnp.maximum(f_new, 1e-12))
-            & (jnp.abs(rmse_new - r_cur) < relative_rmse * jnp.maximum(rmse_new, 1e-12))
+            (jnp.abs(f_new - f_cur) < relative_fitness)
+            & (jnp.abs(rmse_new - r_cur) < relative_rmse)
             & (it > 0)
         )
         return it + 1, T_new, f_cur, r_cur, f_new, rmse_new, converged

@@ -131,11 +131,12 @@ def _icp_large_jit(
     def body(state):
         it, T, f_cur, r_cur, _ = state
         T_new, f_new, r_new = solve_step(T)
-        # Relative-change convergence (Open3D ICPConvergenceCriteria
-        # semantics, matching registration/icp.py).
+        # Absolute-delta convergence: Open3D's ICPConvergenceCriteria
+        # compares absolute fitness/RMSE deltas despite its "relative_*"
+        # field names (matching registration/icp.py).
         converged = (
-            (jnp.abs(f_new - f_cur) < 1e-6 * jnp.maximum(f_new, 1e-12))
-            & (jnp.abs(r_new - r_cur) < 1e-6 * jnp.maximum(r_new, 1e-12))
+            (jnp.abs(f_new - f_cur) < 1e-6)
+            & (jnp.abs(r_new - r_cur) < 1e-6)
             & (it > 0)
         )
         return it + 1, T_new, f_new, r_new, converged
@@ -285,8 +286,7 @@ def register_arrays_large(
     Returns (RegistrationResult of the refinement, coarse RegistrationResult).
     """
     from tpu3dm.core.config import PipelineConfig
-    from tpu3dm.preprocess.fpfh import compute_fpfh, compute_fpfh_capped
-    from tpu3dm.preprocess.normals import estimate_normals, estimate_normals_capped
+    from tpu3dm.preprocess.pipeline import down_features
     from tpu3dm.preprocess.voxel import voxel_downsample_host
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
@@ -296,13 +296,14 @@ def register_arrays_large(
     def down(pts):
         d = voxel_downsample_host(pts, config.preprocess.voxel_size)
         pp = config.preprocess
-        if pp.normal_max_nn > 0:
-            d = estimate_normals_capped(d, pp.normal_radius, max_nn=pp.normal_max_nn)
-        else:
-            d = estimate_normals(d, pp.normal_radius)
-        if pp.fpfh_max_nn > 0:
-            return compute_fpfh_capped(d, pp.fpfh_radius, max_nn=pp.fpfh_max_nn)
-        return compute_fpfh(d, pp.fpfh_radius)
+        return down_features(
+            d,
+            pp.normal_radius,
+            pp.fpfh_radius,
+            normal_max_nn=pp.normal_max_nn,
+            fpfh_max_nn=pp.fpfh_max_nn,
+            share_knn=pp.normal_radius <= pp.fpfh_radius,
+        )
 
     src_down, tgt_down = down(src_pts), down(tgt_pts)
     coarse = coarse_pose_with_verification(

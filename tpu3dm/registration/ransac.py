@@ -262,21 +262,21 @@ def ransac_two_mode(
         return cosang >= cos_thr
 
     def merge(T1, c1, T2, c2, Tc, cc):
-        """Fold candidate (Tc, cc) into the two mode slots (branchless)."""
+        """Fold candidate (Tc, cc) into the two mode slots (branchless).
+
+        The leader slot update is branch-independent (a better candidate
+        takes slot 1 whether or not it is rotation-near the current leader);
+        near1 only gates the secondary slot: candidates near the leader
+        compete with nothing else, far candidates either inherit a demoted
+        leader or compete with slot 2.
+        """
         near1 = rot_close(T1, Tc)
-        # near slot 1: compete only with slot 1
-        n_T1 = jnp.where(cc > c1, Tc, T1)
-        n_c1 = jnp.maximum(cc, c1)
-        # far from slot 1: beats slot1 -> old slot1 demotes to slot2;
-        # else competes with slot2 (only if also far from the *new* slot1)
-        f_T1 = jnp.where(cc > c1, Tc, T1)
-        f_c1 = jnp.maximum(cc, c1)
-        f_T2 = jnp.where(cc > c1, T1, jnp.where(cc > c2, Tc, T2))
-        f_c2 = jnp.where(cc > c1, c1, jnp.maximum(cc, c2))
-        T1n = jnp.where(near1, n_T1, f_T1)
-        c1n = jnp.where(near1, n_c1, f_c1)
-        T2n = jnp.where(near1, T2, f_T2)
-        c2n = jnp.where(near1, c2, f_c2)
+        T1n = jnp.where(cc > c1, Tc, T1)
+        c1n = jnp.maximum(cc, c1)
+        far_T2 = jnp.where(cc > c1, T1, jnp.where(cc > c2, Tc, T2))
+        far_c2 = jnp.where(cc > c1, c1, jnp.maximum(cc, c2))
+        T2n = jnp.where(near1, T2, far_T2)
+        c2n = jnp.where(near1, c2, far_c2)
         return T1n, c1n, T2n, c2n
 
     def cond(state):
