@@ -219,9 +219,10 @@ def _cmd_register_batch(args) -> int:
     file indexed like the manifest.
     """
     import jax
+    import numpy as np
 
     from tpu3dm.core.config import PipelineConfig
-    from tpu3dm.io.ply import read_ply
+    from tpu3dm.io.loader import read_ply_many
     from tpu3dm.preprocess.pipeline import preprocess_points_batch
     from tpu3dm.registration.batch import register_pairs_batched
 
@@ -265,26 +266,82 @@ def _cmd_register_batch(args) -> int:
     else:
         pending = {p for pair in pair_paths for p in pair}
 
-    # One batched ingest for every distinct cloud file still needed.
-    uniq = sorted(pending)
-    raw = [read_ply(p)["points"] for p in uniq]
-    procs = dict(zip(uniq, preprocess_points_batch(raw, cfg.preprocess)))
-    # Completed pairs get a placeholder; register_pairs_batched never touches
-    # the clouds of checkpoint-restored pairs.
-    _dummy = next(iter(procs.values()), None)
-    pairs = [
-        (procs.get(a, _dummy), procs.get(b, _dummy)) for a, b in pair_paths
-    ]
+    # Per-pair PRNG keys are positional in the FULL manifest, so the
+    # windowed and whole-manifest modes register every pair identically.
+    all_keys = np.asarray(jax.random.split(jax.random.PRNGKey(args.seed),
+                                           len(pair_paths)))
 
-    res = register_pairs_batched(
-        pairs,
-        cfg,
-        key=jax.random.PRNGKey(args.seed),
-        ransac_iterations=args.ransac_iterations,
-        rescue_restarts=args.rescue_restarts,
-        checkpoint=store,
-        pair_names=pair_names,
-    )
+    if args.window > 0:
+        # Streaming mode: host memory bounded by the window; the next
+        # window's file ingest (threaded native parse + voxel hash) overlaps
+        # this window's device registration (io/loader.py double buffer).
+        from tpu3dm.io.loader import iter_preprocessed_windows
+
+        skip = {p for pair in pair_paths for p in pair} - pending
+        out_T = np.zeros((len(pair_paths), 4, 4), np.float32)
+        out_fit = np.zeros((len(pair_paths),), np.float32)
+        out_rmse = np.zeros((len(pair_paths),), np.float32)
+        bucket_of = [0] * len(pair_paths)
+        for idxs, procs in iter_preprocessed_windows(
+            pair_paths, cfg.preprocess, window=args.window,
+            workers=args.io_workers, skip_paths=skip,
+        ):
+            _dummy = next(iter(procs.values()), None)
+            wpairs = [
+                (procs.get(pair_paths[i][0], _dummy),
+                 procs.get(pair_paths[i][1], _dummy))
+                for i in idxs
+            ]
+            wres = register_pairs_batched(
+                wpairs,
+                cfg,
+                ransac_iterations=args.ransac_iterations,
+                rescue_restarts=args.rescue_restarts,
+                checkpoint=store,
+                pair_names=(
+                    [pair_names[i] for i in idxs] if pair_names else None
+                ),
+                pair_keys=all_keys[idxs],
+            )
+            for j, i in enumerate(idxs):
+                out_T[i] = wres.transforms[j]
+                out_fit[i] = wres.ransac_fitness[j]
+                out_rmse[i] = wres.icp_rmse[j]
+                bucket_of[i] = wres.bucket_of_pair[j]
+            logger.info(
+                "window %d-%d registered (%d pairs)",
+                idxs[0], idxs[-1], len(idxs),
+            )
+        from tpu3dm.registration.batch import BatchResult
+
+        res = BatchResult(out_T, out_fit, out_rmse, bucket_of)
+    else:
+        # One batched ingest for every distinct cloud file still needed
+        # (threaded: the native parsers release the GIL).
+        uniq = sorted(pending)
+        raw = [
+            d["points"]
+            for d in read_ply_many(uniq, workers=args.io_workers)
+        ]
+        procs = dict(zip(uniq, preprocess_points_batch(
+            raw, cfg.preprocess, workers=args.io_workers
+        )))
+        # Completed pairs get a placeholder; register_pairs_batched never
+        # touches the clouds of checkpoint-restored pairs.
+        _dummy = next(iter(procs.values()), None)
+        pairs = [
+            (procs.get(a, _dummy), procs.get(b, _dummy))
+            for a, b in pair_paths
+        ]
+        res = register_pairs_batched(
+            pairs,
+            cfg,
+            ransac_iterations=args.ransac_iterations,
+            rescue_restarts=args.rescue_restarts,
+            checkpoint=store,
+            pair_names=pair_names,
+            pair_keys=all_keys,
+        )
     payload = [
         {
             "source": a,
@@ -418,6 +475,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="resumable run: per-pair results are persisted here "
                         "(keyed by the pair's paths) and skipped on re-run")
+    p.add_argument("--window", type=int, default=0,
+                   help=">0: stream the manifest in windows of this many "
+                        "pairs — host memory stays bounded and the next "
+                        "window's file ingest overlaps this window's device "
+                        "registration; 0 ingests the whole manifest at once")
+    p.add_argument("--io-workers", type=int, default=None,
+                   help="threads for file parse + voxel hash (native code "
+                        "releases the GIL); default min(8, cpus)")
     p.add_argument("--rescue-restarts", type=int, default=0,
                    help=">0 enables the batched alias rescue inside each "
                         "fused step (two-mode RANSAC x restarts + on-device "

@@ -222,20 +222,23 @@ def preprocess_points_batch(
     config: PreprocessConfig = PreprocessConfig(),
     *,
     key: jax.Array | None = None,
+    workers: int | None = None,
 ) -> list[ProcessedCloud]:
     """Preprocess MANY clouds in one vmapped device dispatch.
 
     Production ingest path for multi-pair workloads: host-side voxel
-    downsampling (native C++ tier) per cloud, then all feature stages for
-    every cloud in a single compiled program.  Clouds are padded to shared
-    capacities (max over the batch, rounded to 256) so one compile covers
-    similarly-sized batches.
+    downsampling (native C++ tier) per cloud — fanned out over ``workers``
+    threads (io/loader.py; the native hash releases the GIL) — then all
+    feature stages for every cloud in a single compiled program.  Clouds are
+    padded to shared capacities (max over the batch, rounded to 256) so one
+    compile covers similarly-sized batches.
     """
     from tpu3dm.core.cloud import round_up
+    from tpu3dm.io.loader import voxel_downsample_many
 
     if not clouds:
         return []
-    downs = [voxel_downsample_host(p, config.voxel_size) for p in clouds]
+    downs = voxel_downsample_many(clouds, config.voxel_size, workers=workers)
     cap_d = max(round_up(int(np.asarray(d.mask).sum()), 256) for d in downs)
     cap_f = max(round_up(p.shape[0], 256) for p in clouds)
 

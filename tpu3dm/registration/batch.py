@@ -119,6 +119,7 @@ def register_pairs_batched(
     rescue_restarts: int | None = None,
     checkpoint=None,
     pair_names: list[str] | None = None,
+    pair_keys: np.ndarray | None = None,
 ) -> BatchResult:
     """Register many preprocessed pairs with capacity-bucketed dispatches.
 
@@ -140,6 +141,10 @@ def register_pairs_batched(
       pair_names: stable identity string per pair (e.g. 'src.ply\\ttgt.ply')
         used as the checkpoint key; results stay correct across manifest
         reordering/edits because the key is content-derived, not positional.
+      pair_keys: explicit per-pair PRNG keys, shape [P, 2] — overrides the
+        positional split of ``key``.  Lets a windowed/streaming caller
+        (io/loader.py) hand each pair the same key it would get in a single
+        whole-manifest call, so window size never changes results.
 
     Returns:
       BatchResult with arrays indexed like ``pairs``.
@@ -196,7 +201,14 @@ def register_pairs_batched(
 
     # Host copy once: fancy-indexing a jax array per bucket would trigger
     # eager device ops (a remote compile per op on the axon backend).
-    keys = np.asarray(jax.random.split(key, n_pairs))
+    if pair_keys is not None:
+        keys = np.asarray(pair_keys)
+        if keys.shape[0] != n_pairs:
+            raise ValueError(
+                f"pair_keys has {keys.shape[0]} rows for {n_pairs} pairs"
+            )
+    else:
+        keys = np.asarray(jax.random.split(key, n_pairs))
 
     if mesh is not None:
         from tpu3dm.parallel.register import batched_register
