@@ -197,3 +197,13 @@ def test_cli_trace_animation(small_pair_files, tmp_path):
     html = anim.read_text()
     assert '"frames"' in html and "scrub" in html
     assert html.count('"T"') == len(rows)
+
+
+def test_cli_info(capsys):
+    from tpu3dm.apps.cli import main
+
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["device_count"] >= 1
+    assert out["native_tier"] == "loaded"
+    assert out["default_matmul_precision"] == "highest"

@@ -1,0 +1,18 @@
+"""Every example under examples/ must run green (they assert their own
+quality gates).  Examples are user-facing documentation; a broken example is
+a broken doc."""
+
+import runpy
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = sorted((Path(__file__).parent.parent / "examples").glob("*.py"))
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
+def test_example_runs(path, monkeypatch):
+    # Examples call main() under __main__; run them the way a user would.
+    monkeypatch.setattr(sys, "argv", [str(path)])
+    runpy.run_path(str(path), run_name="__main__")

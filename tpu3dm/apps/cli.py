@@ -387,9 +387,57 @@ def _cmd_multiway(args) -> int:
     return 0
 
 
+def _cmd_info(args) -> int:
+    """Environment/runtime report: backend, devices, native tier, versions."""
+    import jax
+
+    from tpu3dm import native
+
+    lib = native.lib()
+    devs = jax.devices()
+    payload = {
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in devs],
+        "device_count": len(devs),
+        "native_tier": "loaded" if lib is not None else "unavailable (make -C native)",
+        "default_matmul_precision": str(
+            jax.config.jax_default_matmul_precision
+        ),
+    }
+    if args.probe and lib is not None:
+        import time
+
+        import numpy as np
+
+        pts = np.random.default_rng(0).uniform(-1, 1, (100_000, 3))
+        t0 = time.perf_counter()
+        out = native.voxel_downsample(pts, 0.05)
+        payload["native_voxel_100k_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1
+        )
+        payload["native_voxel_100k_voxels"] = int(out.shape[0])
+    if args.probe:
+        import time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        t0 = time.perf_counter()
+        np.asarray(jnp.ones(8) * 2.0)  # first dispatch incl. session setup
+        payload["first_dispatch_s"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(payload, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="tpu3dm", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="runtime report: backend, devices, native tier")
+    p.add_argument("--probe", action="store_true",
+                   help="also time a native voxel hash and the first device dispatch")
+    p.set_defaults(fn=_cmd_info)
 
     p = sub.add_parser("register", help="register two point clouds (main.py parity)")
     p.add_argument("source", nargs="?", default=None)
