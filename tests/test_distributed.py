@@ -52,6 +52,30 @@ _WORKER = textwrap.dedent(
     assert local.size == 2, local.shape
     assert np.all(local > 0.99), local
     print(f"proc {pid}: OK fitness={local.round(3).tolist()}", flush=True)
+
+    # --- SP axis across processes: sharded ring ICP over the block axis ----
+    from tpu3dm.core import se3
+    from tpu3dm.parallel.sharded_icp import icp_refine_sharded
+
+    bmesh = make_mesh(1, 4)  # block axis spans both processes
+    tgt = rng.normal(size=(2048, 3)).astype(np.float32)
+    nrm = rng.normal(size=(2048, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    xi = np.array([0.02, -0.01, 0.015, 0.03, -0.02, 0.01], np.float32)
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(xi)))
+    # src = T_true^-1 tgt, so ICP must recover T_true.
+    Tinv = np.linalg.inv(T_true)
+    src = tgt @ Tinv[:3, :3].T + Tinv[:3, 3]
+    res = icp_refine_sharded(
+        bmesh, src, tgt, jnp.eye(4), tgt_normals=nrm,
+        dist_thresh=0.3, max_iterations=20,
+    )
+    T_est = np.asarray(res.transformation)
+    M = T_est[:3, :3] @ T_true[:3, :3].T
+    rot = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+    assert float(res.fitness) > 0.99, float(res.fitness)
+    assert rot < 0.1, rot
+    print(f"proc {pid}: sharded-ICP OK rot_err={rot:.4f} deg", flush=True)
     """
 )
 
@@ -90,3 +114,4 @@ def test_two_process_distributed_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "OK fitness=" in out, out
+        assert "sharded-ICP OK" in out, out
