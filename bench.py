@@ -224,7 +224,19 @@ def main() -> None:
         t_trues.append(tt)
     # Batched ingest: all remaining clouds' feature stages in ONE vmapped
     # dispatch (one compile) instead of 2*(dp-1) per-cloud dispatches.
-    procs = preprocess_points_batch(raw, cfg.preprocess)
+    # full_normals=False: the distinct-pair phase registers the DOWNSAMPLED
+    # clouds only, and full-res normal estimation is the dominant ingest
+    # cost (O(N_full^2)); skipping it keeps this phase inside the budget.
+    t0 = time.time()
+    procs = preprocess_points_batch(raw, cfg.preprocess, full_normals=False)
+    np.asarray(procs[-1].down.features)  # D2H fence
+    ingest_s = time.time() - t0
+    # Cold number (includes the batch compile); the warm rate is measured
+    # separately in docs/STATUS.md.  Recorded so the end-to-end ingest axis
+    # is visible in the driver artifact alongside registration throughput.
+    ingest_clouds_per_sec = len(raw) / ingest_s
+    log(f"batched ingest of {len(raw)} clouds: {ingest_s:.2f}s "
+        f"({ingest_clouds_per_sec:.1f} clouds/s incl. compile)")
     clouds = [(src, tgt)] + [
         (procs[i], procs[i + 1]) for i in range(0, len(procs), 2)
     ]
@@ -400,6 +412,10 @@ def _emit(ns) -> None:
         "distinct_rmse_worst_lane": (
             round(ns["distinct_rmse_max"], 4)
             if ns.get("distinct_rmse_max") is not None else None
+        ),
+        "ingest_clouds_per_sec_cold": (
+            round(ns["ingest_clouds_per_sec"], 1)
+            if ns.get("ingest_clouds_per_sec") is not None else None
         ),
         "backend": jax.default_backend(),
     }

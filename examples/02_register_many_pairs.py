@@ -26,7 +26,11 @@ def main() -> None:
         s, t, T = make_benchmark_pair(n, seed=seed, sigma=0.01)
         raw.extend([s, t])
         trues.append(T)
-    procs = preprocess_points_batch(raw, cfg.preprocess, workers=4)
+    # full_normals=False: batched registration uses the downsampled clouds
+    # only, and full-res normal estimation is the dominant ingest cost.
+    procs = preprocess_points_batch(
+        raw, cfg.preprocess, workers=4, full_normals=False
+    )
     pairs = [(procs[i], procs[i + 1]) for i in range(0, len(procs), 2)]
 
     res = register_pairs_batched(pairs, cfg, ransac_iterations=2048)

@@ -147,3 +147,28 @@ def test_pair_keys_override_matches_positional_split():
     np.testing.assert_allclose(
         res_a.transforms[1], res_c.transforms[0], atol=1e-5
     )
+
+
+def test_full_normals_skip_only_affects_full_cloud():
+    """full_normals=False must leave the down cloud (what the batch path
+    registers) bitwise identical and only drop the full-res normals — the
+    dominant ingest cost."""
+    from tpu3dm.preprocess.pipeline import preprocess_points_batch
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    a, b, _ = make_benchmark_pair(4000, seed=0, sigma=0.005)
+    with_n = preprocess_points_batch([a, b], cfg.preprocess)
+    without = preprocess_points_batch([a, b], cfg.preprocess, full_normals=False)
+    for w, wo in zip(with_n, without):
+        np.testing.assert_array_equal(
+            np.asarray(w.down.features), np.asarray(wo.down.features)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w.down.normals), np.asarray(wo.down.normals)
+        )
+        # Skipped full normals stay the zero-filled placeholder.
+        assert np.abs(np.asarray(w.full.normals)).sum() > 0
+        assert np.abs(np.asarray(wo.full.normals)).sum() == 0
+        np.testing.assert_array_equal(
+            np.asarray(w.full.points), np.asarray(wo.full.points)
+        )

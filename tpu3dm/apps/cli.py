@@ -285,6 +285,9 @@ def _cmd_register_batch(args) -> int:
         for idxs, procs in iter_preprocessed_windows(
             pair_paths, cfg.preprocess, window=args.window,
             workers=args.io_workers, skip_paths=skip,
+            # The batch path registers the DOWNSAMPLED clouds only; skipping
+            # full-res normals removes the dominant ingest stage.
+            full_normals=False,
         ):
             _dummy = next(iter(procs.values()), None)
             wpairs = [
@@ -324,7 +327,8 @@ def _cmd_register_batch(args) -> int:
             for d in read_ply_many(uniq, workers=args.io_workers)
         ]
         procs = dict(zip(uniq, preprocess_points_batch(
-            raw, cfg.preprocess, workers=args.io_workers
+            raw, cfg.preprocess, workers=args.io_workers,
+            full_normals=False,  # batch path registers down clouds only
         )))
         # Completed pairs get a placeholder; register_pairs_batched never
         # touches the clouds of checkpoint-restored pairs.
@@ -368,8 +372,14 @@ def _cmd_multiway(args) -> int:
 
     cfg = PipelineConfig.with_voxel_size(args.voxel_size)
     # Batched ingest: all clouds' feature stages in one device dispatch.
-    raw = [read_ply(p)["points"] for p in args.files]
-    clouds = preprocess_points_batch(raw, cfg.preprocess)
+    from tpu3dm.io.loader import read_ply_many
+
+    raw = [d["points"] for d in read_ply_many(args.files)]
+    # The batched multiway path registers down clouds only; the sequential
+    # path refines with full-res ICP and needs the full-res normals.
+    clouds = preprocess_points_batch(
+        raw, cfg.preprocess, full_normals=not args.batched
+    )
     register = register_multiway_batched if args.batched else register_multiway
     out = register(
         clouds,

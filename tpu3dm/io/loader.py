@@ -117,17 +117,21 @@ def preprocess_files_batch(
     *,
     key=None,
     workers: int | None = None,
+    full_normals: bool = True,
 ) -> list:
     """Threaded file ingest + one vmapped device dispatch for the features.
 
     ``preprocess_points_batch`` with the host stages (parse, voxel hash)
     parallelized over ``workers`` threads.  Returns ``ProcessedCloud`` per
-    path, in order.
+    path, in order.  ``full_normals=False`` skips the dominant full-res
+    normal stage for down-cloud-only consumers (see preprocess_points_batch).
     """
     from tpu3dm.preprocess.pipeline import preprocess_points_batch
 
     raws = [d["points"] for d in read_ply_many(paths, workers=workers)]
-    return preprocess_points_batch(raws, config, key=key, workers=workers)
+    return preprocess_points_batch(
+        raws, config, key=key, workers=workers, full_normals=full_normals
+    )
 
 
 def iter_preprocessed_windows(
@@ -138,6 +142,7 @@ def iter_preprocessed_windows(
     workers: int | None = None,
     skip_paths: set[str] | None = None,
     key=None,
+    full_normals: bool = True,
 ) -> Iterator[tuple[list[int], dict[str, object]]]:
     """Double-buffered window iterator over a pair manifest.
 
@@ -167,7 +172,9 @@ def iter_preprocessed_windows(
                 if p not in skip
             }
         )
-        procs = preprocess_files_batch(uniq, config, key=key, workers=workers)
+        procs = preprocess_files_batch(
+            uniq, config, key=key, workers=workers, full_normals=full_normals
+        )
         return idxs, dict(zip(uniq, procs))
 
     q: queue.Queue = queue.Queue(maxsize=1)

@@ -61,6 +61,7 @@ def _features_impl(
     fpfh_max_nn: int,
     full_normal_max_nn: int,
     share_knn: bool = True,
+    full_normals: bool = True,
 ) -> tuple[PointCloud, PointCloud]:
     """Down-cloud normals + FPFH and full-cloud normals in ONE dispatch.
 
@@ -85,6 +86,14 @@ def _features_impl(
     )
     # Full-res normals get their own cap knob: the k-selection at full
     # resolution costs 14.6x the covariance fast path on TPU (config.py).
+    # ``full_normals=False`` skips the stage entirely — it is the DOMINANT
+    # ingest cost (O(N_full^2) covariance; measured ~26 ms of the ~27 ms
+    # per-cloud warm batched ingest at 20k points), and only the full-res
+    # ICP path (register_pair) consumes it; the batched production paths
+    # (register_pairs_batched, register_multiway_batched) register the
+    # downsampled clouds and never touch full.normals.
+    if not full_normals:
+        return down, full
     if full_normal_max_nn > 0:
         full = estimate_normals_capped(full, normal_radius, max_nn=full_normal_max_nn)
     else:
@@ -143,7 +152,8 @@ def down_features(
 _features_device = jax.jit(
     _features_impl,
     static_argnames=(
-        "normal_max_nn", "fpfh_max_nn", "full_normal_max_nn", "share_knn"
+        "normal_max_nn", "fpfh_max_nn", "full_normal_max_nn", "share_knn",
+        "full_normals",
     ),
 )
 
@@ -165,6 +175,26 @@ def _features_device_batched(
         share_knn=share_knn,
     )
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, None, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _down_features_device_batched(
+    normal_max_nn: int, fpfh_max_nn: int, share_knn: bool
+):
+    """Down-cloud-only batched feature program (full_normals=False path).
+
+    Keeping the full-res clouds OUT of the compiled program matters as much
+    as skipping their normals: a device program input/output pays the
+    host<->device transfer both ways (~2 x 16 MB for 64 x 20k clouds), all
+    of it dead weight for consumers that register the downsampled clouds.
+    """
+    fn = functools.partial(
+        down_features,
+        normal_max_nn=normal_max_nn,
+        fpfh_max_nn=fpfh_max_nn,
+        share_knn=share_knn,
+    )
+    return jax.jit(jax.vmap(fn, in_axes=(0, None, None)))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -223,8 +253,18 @@ def preprocess_points_batch(
     *,
     key: jax.Array | None = None,
     workers: int | None = None,
+    full_normals: bool = True,
 ) -> list[ProcessedCloud]:
     """Preprocess MANY clouds in one vmapped device dispatch.
+
+    ``full_normals=False`` is the down-cloud-only fast path for consumers
+    that never touch ``.full`` (register_pairs_batched /
+    register_multiway_batched): it skips full-resolution normal estimation
+    (the dominant ingest compute, O(N_full^2)) AND keeps the full-res clouds
+    out of the compiled program entirely, saving their host->device->host
+    transfers.  The returned ``ProcessedCloud.full`` is a host-resident
+    PointCloud (NumPy leaves, zero-filled normals): reads are free on host,
+    and any later jit consumer uploads it transparently.
 
     Production ingest path for multi-pair workloads: host-side voxel
     downsampling (native C++ tier) per cloud — fanned out over ``workers``
@@ -246,26 +286,42 @@ def preprocess_points_batch(
         from_numpy(np.asarray(d.points)[np.asarray(d.mask)], capacity=cap_d)
         for d in downs
     ]
-    fulls_pc = [from_numpy(p, capacity=cap_f) for p in clouds]
     down_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *downs_pc)
-    full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
+    share = config.normal_radius <= config.fpfh_radius
 
-    down_b, full_b = _features_device_batched(
-        config.normal_max_nn,
-        config.fpfh_max_nn,
-        config.full_normal_max_nn,
-        config.normal_radius <= config.fpfh_radius,
-    )(
-        down_in,
-        full_in,
-        jnp.float32(config.normal_radius),
-        jnp.float32(config.fpfh_radius),
-    )
+    if full_normals:
+        fulls_pc = [from_numpy(p, capacity=cap_f) for p in clouds]
+        full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
+        down_b, full_b = _features_device_batched(
+            config.normal_max_nn,
+            config.fpfh_max_nn,
+            config.full_normal_max_nn,
+            share,
+        )(
+            down_in,
+            full_in,
+            jnp.float32(config.normal_radius),
+            jnp.float32(config.fpfh_radius),
+        )
+        fulls = None
+    else:
+        down_b = _down_features_device_batched(
+            config.normal_max_nn, config.fpfh_max_nn, share
+        )(
+            down_in,
+            jnp.float32(config.normal_radius),
+            jnp.float32(config.fpfh_radius),
+        )
+        full_b = None
+        fulls = [from_numpy(p, capacity=cap_f, host=True) for p in clouds]
 
     out = []
     for i, raw in enumerate(clouds):
         down_i = jax.tree_util.tree_map(lambda a: a[i], down_b)
-        full_i = jax.tree_util.tree_map(lambda a: a[i], full_b)
+        if full_b is not None:
+            full_i = jax.tree_util.tree_map(lambda a: a[i], full_b)
+        else:
+            full_i = fulls[i]
         if config.noise_sigma > 0.0:
             k = jax.random.fold_in(
                 key if key is not None else jax.random.PRNGKey(0), i
