@@ -174,3 +174,48 @@ def test_multiway_batched_checkpoint_resume(tmp_path):
                                      checkpoint_dir=ckpt)
     np.testing.assert_allclose(out1.poses, out2.poses, atol=1e-6)
     np.testing.assert_allclose(out1.edge_transforms, out2.edge_transforms, atol=1e-6)
+
+
+def test_pose_graph_robust_rejects_gross_outlier_edge():
+    """One grossly wrong edge measurement (e.g. a surviving RANSAC alias):
+    the Geman-McClure IRLS solve (Open3D line-process analog) recovers
+    near-true poses while pure least squares is dragged off by the
+    outlier."""
+    n = 6
+    poses_true = np.stack(
+        [np.eye(4, dtype=np.float32)] + [_rand_pose(40 + i, 0.4) for i in range(1, n)]
+    )
+    edges = default_edges(n)  # chain + loop closure: outlier is redundant
+    T_meas = _edge_measurements(poses_true, edges, noise=0.005, seed=2)
+    # Corrupt edge 2 with a 60-degree alias rotation.
+    bad = np.eye(4, dtype=np.float32)
+    c, s = np.cos(np.pi / 3), np.sin(np.pi / 3)
+    bad[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    T_meas[2] = T_meas[2] @ bad
+
+    def solve(robust_delta):
+        return np.asarray(
+            optimize_pose_graph(
+                jnp.asarray(T_meas),
+                jnp.asarray(np.asarray(edges, np.int32)),
+                jnp.ones(len(edges)),
+                n_nodes=n,
+                iterations=25,
+                robust_delta=robust_delta,
+            )
+        )
+
+    def max_rot_err(poses):
+        errs = []
+        for k in range(n):
+            M = poses[k][:3, :3] @ poses_true[k][:3, :3].T
+            errs.append(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+        return max(errs)
+
+    err_ls = max_rot_err(solve(None))
+    err_gm = max_rot_err(solve(0.1))
+    # LS spreads the 60-deg outlier across the loop (~30 deg max pose
+    # error); the redescending loss suppresses it to the inlier noise floor.
+    assert err_ls > 5.0, err_ls
+    assert err_gm < 1.5, err_gm
+    assert err_gm < err_ls / 5

@@ -386,6 +386,7 @@ def _cmd_multiway(args) -> int:
         cfg,
         key=jax.random.PRNGKey(args.seed),
         checkpoint_dir=args.checkpoint_dir,
+        robust_delta=args.robust_delta,
     )
     payload = {
         "poses": out.poses.tolist(),
@@ -548,6 +549,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=_cmd_register_batch)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")
+    p.add_argument("--robust-delta", type=float, default=None,
+                   help="Geman-McClure robust pose-graph loss scale "
+                        "(SE(3)-tangent residual norm, ~0.1); default pure "
+                        "least squares")
     p.add_argument("files", nargs="+")
     p.add_argument("--voxel-size", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)

@@ -28,7 +28,9 @@ import numpy as np
 from tpu3dm.core import se3
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "iterations"))
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "iterations", "robust_delta")
+)
 def optimize_pose_graph(
     T_meas: jax.Array,
     edges: jax.Array,
@@ -37,6 +39,7 @@ def optimize_pose_graph(
     n_nodes: int,
     iterations: int = 20,
     damping: float = 1e-6,
+    robust_delta: float | None = None,
 ) -> jax.Array:
     """Absolute poses from relative measurements.
 
@@ -47,6 +50,19 @@ def optimize_pose_graph(
       weights: [E] nonnegative edge weights (e.g. registration fitness).
       n_nodes: number of clouds N.
       iterations: Gauss-Newton iterations.
+      robust_delta: None = pure least squares.  A float enables a
+        Geman-McClure robust loss via IRLS — the redescending estimator
+        behind Open3D GlobalOptimization's line-process weights (Choi et
+        al.): each step reweights edge e by (d^2 / (d^2 + ||r_e||^2))^2, so
+        a grossly wrong pairwise measurement (a RANSAC alias that survived
+        verification, a bad loop closure) loses essentially ALL influence
+        instead of dragging every pose (a Huber loss only caps the pull at
+        delta — a 60-degree alias still bends the loop).  The first third
+        of the iterations run unweighted (poses start at identity, where
+        every residual is huge; immediate reweighting would zero the whole
+        graph).  The value is the SE(3)-tangent residual norm
+        (radians+meters mixed) separating inliers from outliers; ~0.1 suits
+        registration-quality graphs (inlier residuals ~1e-2).
 
     Returns:
       [N, 4, 4] world-from-cloud poses with pose 0 = identity (gauge).
@@ -57,19 +73,35 @@ def optimize_pose_graph(
     jj = edges[:, 1]
     sqrt_w = jnp.sqrt(jnp.maximum(weights, 0.0))
 
-    def residuals(deltas: jax.Array, poses: jax.Array) -> jax.Array:
-        """[E*6] weighted stacked residuals at poses perturbed by deltas."""
+    def residuals(
+        deltas: jax.Array, poses: jax.Array, row_w: jax.Array
+    ) -> jax.Array:
+        """[E*6] row-weighted stacked residuals at perturbed poses."""
         P = poses @ se3.exp_se3(deltas)  # [N,4,4] right-perturbation
         Pi = P[ii]
         Pj = P[jj]
         M = T_inv @ se3.inverse(Pj) @ Pi
         r = se3.log_se3(M)  # [E, 6]
-        return (sqrt_w[:, None] * r).reshape(-1)
+        return (row_w[:, None] * r).reshape(-1)
 
-    def gn_step(poses, _):
+    warmup = max(1, iterations // 3)
+
+    def gn_step(poses, step):
         zeros = jnp.zeros((n_nodes, 6), jnp.float32)
-        r0 = residuals(zeros, poses)
-        J = jax.jacfwd(lambda d: residuals(d, poses))(zeros)  # [E*6, N, 6]
+        row_w = sqrt_w
+        if robust_delta is not None:
+            # IRLS: freeze the robust weights at the current residuals for
+            # this step.  Geman-McClure weight = (rho'(r)/r) for
+            # rho = d^2 r^2 / (d^2 + r^2), redescending to ~0 for gross
+            # outliers; unweighted during warmup (see docstring).
+            r_raw = residuals(zeros, poses, jnp.ones((E,), jnp.float32))
+            rn2 = jnp.sum(r_raw.reshape(E, 6) ** 2, axis=1)
+            d2_ = jnp.float32(robust_delta) ** 2
+            gm = (d2_ / (d2_ + rn2)) ** 2
+            gm = jnp.where(step < warmup, 1.0, gm)
+            row_w = sqrt_w * jnp.sqrt(gm)
+        r0 = residuals(zeros, poses, row_w)
+        J = jax.jacfwd(lambda d: residuals(d, poses, row_w))(zeros)
         J = J.reshape(E * 6, n_nodes * 6)
         # Gauge fix: freeze node 0 by zeroing its columns and pinning its
         # diagonal block.
@@ -86,7 +118,9 @@ def optimize_pose_graph(
         return poses, jnp.sum(r0 * r0)
 
     init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_nodes, 4, 4))
-    poses, costs = jax.lax.scan(gn_step, init, None, length=iterations)
+    poses, costs = jax.lax.scan(
+        gn_step, init, jnp.arange(iterations, dtype=jnp.int32)
+    )
     return poses
 
 
@@ -114,6 +148,7 @@ def register_multiway(
     key=None,
     pose_graph_iters: int = 20,
     checkpoint_dir: str | None = None,
+    robust_delta: float | None = None,
 ) -> MultiwayResult:
     """Align N preprocessed clouds into one frame.
 
@@ -178,7 +213,8 @@ def register_multiway(
     e_arr = jnp.asarray(np.asarray(edges, np.int32))
     w_arr = jnp.asarray(np.asarray(fit_list, np.float32))
     poses = optimize_pose_graph(
-        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters
+        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters,
+        robust_delta=robust_delta,
     )
     poses_np = np.asarray(poses)
     if store is not None:
@@ -205,6 +241,7 @@ def register_multiway_batched(
     rescue_restarts: int | None = None,
     mesh=None,
     checkpoint_dir: str | None = None,
+    robust_delta: float | None = None,
 ) -> MultiwayResult:
     """Align N preprocessed clouds with ALL edges in one device dispatch.
 
@@ -247,7 +284,8 @@ def register_multiway_batched(
             T_list = [np.asarray(cached[e].transformation) for e in edges]
             fit_list = [cached[e].fitness for e in edges]
             return _solve_poses(
-                n, edges, T_list, fit_list, pose_graph_iters, store
+                n, edges, T_list, fit_list, pose_graph_iters, store,
+                robust_delta,
             )
 
     # Stack the downsampled clouds to one common capacity.
@@ -313,7 +351,8 @@ def register_multiway_batched(
                 ),
             )
 
-    return _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store)
+    return _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store,
+                        robust_delta)
 
 
 @functools.lru_cache(maxsize=None)
@@ -362,12 +401,14 @@ def _edges_runner(
     return run
 
 
-def _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store):
+def _solve_poses(n, edges, T_list, fit_list, pose_graph_iters, store,
+                 robust_delta=None):
     T_meas = jnp.asarray(np.stack(T_list), jnp.float32)
     e_arr = jnp.asarray(np.asarray(edges, np.int32))
     w_arr = jnp.asarray(np.asarray(fit_list, np.float32))
     poses = optimize_pose_graph(
-        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters
+        T_meas, e_arr, w_arr, n_nodes=n, iterations=pose_graph_iters,
+        robust_delta=robust_delta,
     )
     poses_np = np.asarray(poses)
     if store is not None:
