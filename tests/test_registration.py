@@ -346,3 +346,45 @@ def test_restarts_rescue_symmetric_alias():
     M = np.asarray(res.icp.transformation)[:3, :3] @ R.T
     rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
     assert rot_err < 2.0, rot_err
+
+
+class TestEvaluate:
+    """evaluate_registration / information_matrix (Open3D API parity)."""
+
+    def _pair(self, n=2000, seed=7):
+        from tpu3dm.core.cloud import from_numpy
+        from tpu3dm.io.synthetic import make_benchmark_pair
+
+        s, t, T = make_benchmark_pair(n, seed=seed, sigma=0.005)
+        return from_numpy(s), from_numpy(t), T
+
+    def test_evaluate_grades_true_vs_identity(self):
+        from tpu3dm.registration.evaluate import evaluate_registration
+
+        src, tgt, T = self._pair()
+        good = evaluate_registration(src, tgt, 0.12, jnp.asarray(T))
+        bad = evaluate_registration(src, tgt, 0.12)  # identity
+        assert float(good.fitness) > 0.95
+        assert float(good.inlier_rmse) < 0.03
+        assert float(bad.fitness) < float(good.fitness) * 0.8
+        assert int(good.iterations) == 0
+
+    def test_information_matrix_structure(self):
+        from tpu3dm.registration.evaluate import (
+            evaluate_registration,
+            information_matrix,
+        )
+
+        src, tgt, T = self._pair()
+        I6 = np.asarray(information_matrix(src, tgt, 0.12, jnp.asarray(T)))
+        assert I6.shape == (6, 6)
+        np.testing.assert_allclose(I6, I6.T, atol=1e-3)
+        # PSD: all eigenvalues nonnegative.
+        assert np.linalg.eigvalsh(I6).min() > -1e-3
+        # Top-left translation block is exactly n_inliers * I_3.
+        ev = evaluate_registration(src, tgt, 0.12, jnp.asarray(T))
+        n_src = int(np.asarray(src.mask).sum())
+        n_inl = round(float(ev.fitness) * n_src)
+        np.testing.assert_allclose(
+            I6[:3, :3], np.eye(3) * n_inl, rtol=1e-5, atol=1e-2
+        )
