@@ -201,3 +201,71 @@ def test_approx_score_matches_exact_winner():
         np.testing.assert_allclose(T[:3, 3], t, atol=0.2)
     # exact recount after refit: counts should agree closely
     assert abs(int(c_exact) - int(c_approx)) <= 5
+
+
+def test_two_stage_scoring_matches_exact_winner():
+    """score_subset (two-stage scoring) must elect a winner of the same
+    quality as full scoring: subset counts only RANK hypotheses, the
+    rescore_top survivors are re-counted exactly over all correspondences,
+    so the elected count is an exact count and the refit winner must land on
+    the planted transform."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dm.parallel.multipair import ransac_pair_step
+
+    rng = np.random.default_rng(13)
+    p = rng.standard_normal((640, 3)).astype(np.float32) * 2.0
+    ang = -0.3
+    R = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]],
+        np.float32,
+    )
+    t = np.array([-0.1, 0.4, 0.2], np.float32)
+    q = p @ R.T + t + 0.005 * rng.standard_normal((640, 3)).astype(np.float32)
+    q[400:] += rng.standard_normal((240, 3)).astype(np.float32)  # outliers
+    valid = np.ones(640, bool)
+    key = jax.random.PRNGKey(3)
+
+    kw = dict(dist_thresh=0.15, iterations=2048, batch_size=2048)
+    T_full, c_full = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid), key, **kw
+    )
+    T_sub, c_sub = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid), key,
+        score_subset=160, rescore_top=64, **kw
+    )
+    for T in (np.asarray(T_full), np.asarray(T_sub)):
+        M = T[:3, :3] @ R.T
+        rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+        assert rot_err < 1.0, rot_err
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.1)
+    # Both elected counts are exact counts; the subset ranking may pick a
+    # slightly different (but near-best) hypothesis before the refit.
+    assert abs(int(c_full) - int(c_sub)) <= 10
+
+
+def test_two_stage_scoring_degenerate_all_invalid():
+    """All-checker-fail chunks must keep -1 through the exact re-score and
+    leave the identity fallback in place (no accidental 0-count election of
+    a garbage pose)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dm.parallel.multipair import ransac_pair_step
+
+    # Collinear correspondences: every 3-point sample is degenerate, every
+    # hypothesis fails the frame check and scores -1.
+    n = 256
+    s = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    p = np.stack([s, 2 * s, 3 * s], axis=1)
+    q = p + 0.5
+    T, count = ransac_pair_step(
+        jnp.asarray(p), jnp.asarray(q), jnp.ones(n, bool),
+        jax.random.PRNGKey(0), dist_thresh=1e-4, iterations=512,
+        batch_size=512, score_subset=64, rescore_top=32, refit=False,
+    )
+    assert int(count) <= 0
+    np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-6)

@@ -78,6 +78,14 @@ class RansacConfig:
     # verification inside the fused/batched paths.  No reference counterpart
     # (the reference's single-mode election loses on near-symmetric clouds).
     rescue_restarts: int = 0
+    # Two-stage hypothesis scoring (parallel/multipair.py ransac_pair_step):
+    # >0 ranks every hypothesis on a ~score_subset stride-sampled
+    # correspondence subset and exactly re-scores only the rescore_top best
+    # over the full set (the [K, M] score matmul is MXU-tile-rate bound, so
+    # entries ARE the cost).  0 = single-stage full scoring.  Consumed by
+    # register_pairs_batched / batched_register / the benchmarks.
+    score_subset: int = 0
+    rescore_top: int = 128
 
     @property
     def dist_thresh(self) -> float:

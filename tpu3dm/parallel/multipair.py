@@ -25,6 +25,7 @@ from tpu3dm.parallel.mesh import PAIR_AXIS
 from tpu3dm.registration.hypotheses import (
     prepare_correspondences,
     refit_inliers,
+    rescore_rows,
     rot_cos_planar,
     sample_fit_score,
     winner_T,
@@ -46,11 +47,25 @@ def ransac_pair_step(
     approx_score: bool = False,
     two_mode: bool = False,
     mode_angle_deg: float = 15.0,
+    score_subset: int = 0,
+    rescore_top: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
 
     Planar hypothesis chunks (registration/hypotheses.py) under lax.scan;
     optional exact Horn re-fit of the winner on its inlier set.
+
+    ``score_subset`` > 0 enables TWO-STAGE scoring: every hypothesis is first
+    scored against only ~score_subset stride-sampled correspondences (the
+    [K, M] score matmul is MXU-tile-rate bound, so entries are the cost), the
+    ``rescore_top`` best survivors are re-scored EXACTLY over all M, and the
+    election runs on the exact counts.  Work drops from K*M to
+    K*S + top*M entries (~3x at K=4096, M=768, S=256).  Samples are still
+    drawn from ALL valid correspondences; only scoring subsamples.  The
+    stride pattern (not a prefix) keeps the subset spatially unbiased —
+    compaction preserves source-point order, which is voxel-hash spatial
+    order, so a prefix would concentrate on one side of the cloud and
+    systematically misrank partial-overlap hypotheses.
 
     Both clouds are shifted to the valid-correspondence centroid before
     hypothesis work and the winner is un-shifted at return: the rank-15
@@ -85,8 +100,26 @@ def ransac_pair_step(
     n_chunks = max(1, iterations // batch_size)
     pq, F, c = prepare_correspondences(p_all, q_all)
 
+    m_total = p_all.shape[0]
+    use_subset = (
+        (not two_mode) and score_subset > 0 and score_subset < m_total
+    )
+    if use_subset:
+        stride = max(1, m_total // score_subset)
+        F_s = F[::stride][:score_subset]
+        c_s = c[::stride][:score_subset]
+        valid_s = valid[::stride][:score_subset]
+        n_top = min(rescore_top, batch_size)
+
     def fit_chunk(k_chunk):
         triples = _sample_distinct_triples(k_chunk, batch_size, jnp.maximum(n_valid, 3))
+        if use_subset:
+            return sample_fit_score(
+                pq, F_s, c_s, valid_s, triples, thresh_sq,
+                edge_length_ratio=edge_length_ratio,
+                approx_score=approx_score,
+                return_features=True,
+            )
         return sample_fit_score(
             pq, F, c, valid, triples, thresh_sq,
             edge_length_ratio=edge_length_ratio,
@@ -111,12 +144,25 @@ def ransac_pair_step(
 
         def chunk(carry, k_chunk):
             best_T, best_count = carry
-            R, t, counts = fit_chunk(k_chunk)
-            k = jnp.argmax(counts)
-            better = counts[k] > best_count
+            if use_subset:
+                R, t, counts, H, e = fit_chunk(k_chunk)
+                # Stage 2: exact re-score of the subset-score top-n_top over
+                # ALL correspondences; election runs on exact counts.  Checker
+                # failures (-1) stay -1 so they can never be elected.
+                top_c, top_i = jax.lax.top_k(counts, n_top)
+                exact = rescore_rows(H[top_i], e[top_i], F, c, valid, thresh_sq)
+                exact = jnp.where(top_c < 0, -1, exact)
+                j = jnp.argmax(exact)
+                k = top_i[j]
+                cand_count = exact[j]
+            else:
+                R, t, counts = fit_chunk(k_chunk)
+                k = jnp.argmax(counts)
+                cand_count = counts[k]
+            better = cand_count > best_count
             return (
                 jnp.where(better, winner_T(R, t, k), best_T),
-                jnp.where(better, counts[k], best_count),
+                jnp.where(better, cand_count, best_count),
             ), None
 
         (best_T, best_count), _ = jax.lax.scan(

@@ -35,6 +35,8 @@ from tpu3dm.registration.fused import fused_register_step
         "approx_score",
         "rescue_restarts",
         "verify_iters",
+        "score_subset",
+        "rescore_top",
     ),
 )
 def batched_register(
@@ -57,6 +59,8 @@ def batched_register(
     approx_score: bool = False,
     rescue_restarts: int = 0,
     verify_iters: int = 8,
+    score_subset: int = 0,
+    rescore_top: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -81,5 +85,7 @@ def batched_register(
         approx_score=approx_score,
         rescue_restarts=rescue_restarts,
         verify_iters=verify_iters,
+        score_subset=score_subset,
+        rescore_top=rescore_top,
     )
     return jax.vmap(step)(*arrays)

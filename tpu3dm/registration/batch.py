@@ -50,12 +50,13 @@ logger = setup_logging(__name__)
     static_argnames=(
         "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
         "approx_score", "rescue_restarts", "verify_iters",
+        "score_subset", "rescore_top",
     ),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
     *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
-    rescue_restarts=0, verify_iters=8,
+    rescue_restarts=0, verify_iters=8, score_subset=0, rescore_top=128,
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -72,6 +73,8 @@ def _batched_step(
             approx_score=approx_score,
             rescue_restarts=rescue_restarts,
             verify_iters=verify_iters,
+            score_subset=score_subset,
+            rescore_top=rescore_top,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -117,6 +120,8 @@ def register_pairs_batched(
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
     rescue_restarts: int | None = None,
+    score_subset: int | None = None,
+    rescore_top: int | None = None,
     checkpoint=None,
     pair_names: list[str] | None = None,
     pair_keys: np.ndarray | None = None,
@@ -135,6 +140,8 @@ def register_pairs_batched(
       rescue_restarts: >0 enables the batched alias rescue inside the fused
         step (two-mode RANSAC x restarts + on-device ICP verification —
         registration/fused.py); None takes config.ransac.rescue_restarts.
+      score_subset / rescore_top: two-stage RANSAC scoring knobs (see
+        RansacConfig); None takes the config values.
       checkpoint: optional ``multiway.checkpoint.CheckpointStore`` — each
         pair's result is persisted (atomic npz) as its bucket completes, and
         already-stored pairs are skipped on re-run.  Requires ``pair_names``.
@@ -157,6 +164,10 @@ def register_pairs_batched(
         config = PipelineConfig.with_voxel_size(0.3)
     if rescue_restarts is None:
         rescue_restarts = config.ransac.rescue_restarts
+    if score_subset is None:
+        score_subset = config.ransac.score_subset
+    if rescore_top is None:
+        rescore_top = config.ransac.rescore_top
     if key is None:
         key = jax.random.PRNGKey(0)
     n_pairs = len(pairs)
@@ -223,6 +234,8 @@ def register_pairs_batched(
                 icp_solves_per_nn=icp_solves_per_nn,
                 approx_score=approx_score,
                 rescue_restarts=rescue_restarts,
+                score_subset=score_subset,
+                rescore_top=rescore_top,
             )
 
     else:
@@ -237,6 +250,8 @@ def register_pairs_batched(
                 icp_solves_per_nn=icp_solves_per_nn,
                 approx_score=approx_score,
                 rescue_restarts=rescue_restarts,
+                score_subset=score_subset,
+                rescore_top=rescore_top,
             )
 
     for cap, idxs in sorted(buckets.items()):

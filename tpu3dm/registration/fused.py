@@ -119,6 +119,8 @@ def _ransac_with_rescue(
         "approx_features",
         "rescue_restarts",
         "verify_iters",
+        "score_subset",
+        "rescore_top",
     ),
 )
 def fused_register_step(
@@ -143,6 +145,8 @@ def fused_register_step(
     approx_features: bool = False,
     rescue_restarts: int = 0,
     verify_iters: int = 8,
+    score_subset: int = 0,
+    rescore_top: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -152,6 +156,12 @@ def fused_register_step(
     cost here, so 2 solves/NN trades a negligible convergence difference
     for nearly half the ICP time; the benchmark quality gate (rotation
     error / alignment RMSE) guards the trade.
+
+    ``score_subset`` > 0 enables two-stage RANSAC scoring (see
+    ``ransac_pair_step``): hypotheses are ranked on a stride-sampled
+    correspondence subset and only the ``rescore_top`` best are exactly
+    re-scored over the full set — ~3x fewer score-matmul entries at the
+    default shapes, with the election still made on exact counts.
 
     ``rescue_restarts`` > 0 enables the batched alias rescue: R independent
     two-mode RANSAC runs produce 2R candidate poses, each verified by a
@@ -203,6 +213,8 @@ def fused_register_step(
             iterations=ransac_iterations,
             batch_size=ransac_batch,
             approx_score=approx_score,
+            score_subset=score_subset,
+            rescore_top=rescore_top,
         )
     fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)
 

@@ -177,7 +177,8 @@ def sample_fit_score(
     edge_length_ratio: float | jax.Array = 0.9,
     use_checkers: bool = True,
     approx_score: bool = False,
-) -> tuple[PlanarR, PlanarT, jax.Array]:
+    return_features: bool = False,
+) -> tuple:
     """Fit + checker + score one hypothesis chunk, planar end to end.
 
     Args:
@@ -193,10 +194,15 @@ def sample_fit_score(
         coordinates (caller's responsibility; see ransac_pair_step), and the
         elected winner must be exactly re-counted (refit_inliers) since a
         few borderline counts can flip.
+      return_features: also return the fp32 hypothesis feature rows (H [K,16],
+        e [K]) so a two-stage caller can exactly re-score a top-subset of
+        hypotheses against the FULL correspondence set without re-deriving
+        them from the planar parts.
 
     Returns:
       (R, t, counts): planar transforms and int32 inlier counts [K]; checker
-      failures and non-finite fits score -1.
+      failures and non-finite fits score -1.  With ``return_features``,
+      (R, t, counts, H, e).
     """
     ga = pq[triples[:, 0]]  # [K, 6]
     gb = pq[triples[:, 1]]
@@ -245,7 +251,25 @@ def sample_fit_score(
         ok &= close(pa, qa) & close(pb, qb) & close(pc_, qc)
 
     counts = jnp.where(ok, counts, -1)
+    if return_features:
+        return R, t, counts, H, e
     return R, t, counts
+
+
+def rescore_rows(
+    H: jax.Array,
+    e: jax.Array,
+    F: jax.Array,
+    c: jax.Array,
+    valid: jax.Array,
+    thresh_sq: jax.Array,
+) -> jax.Array:
+    """Exact fp32 inlier counts of K' hypothesis feature rows over ALL M
+    correspondences — the second stage of two-stage scoring (K' << K, so the
+    [K', M] matmul is cheap in full precision)."""
+    d2 = H @ F.T + c[None, :] + e[:, None]
+    hits = (d2 < thresh_sq) & valid[None, :]
+    return jnp.sum(hits, axis=1, dtype=jnp.int32)
 
 
 def count_inliers(
