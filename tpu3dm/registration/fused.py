@@ -67,12 +67,16 @@ def _ransac_with_rescue(
     ver_thresh_sq = jnp.float32(dist_thresh) ** 2
     n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
 
+    # One [M, 6] gather per NN pass instead of two [M, 3] gathers (same
+    # slot-concat trick as prepare_correspondences' pq).
+    tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+
     def verify(T0):
         def it(T, _):
             pts = se3.apply(T, src_pts)
             _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
-            q = tgt_pts[idx]
-            nv = tgt_normals[idx]
+            g = tgt_pn[idx]
+            q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < ver_thresh_sq) & src_mask
             w = m.astype(jnp.float32)
             r = jnp.sum((pts - q) * nv, axis=1) * w
@@ -240,11 +244,14 @@ def fused_register_step(
         rmse = jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1))
         return se3.exp_se3(xi) @ T, rmse
 
+    # One [M, 6] gather per correspondence search instead of two [M, 3]s.
+    tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+
     def icp_iter(T, _):
         pts = se3.apply(T, src_pts)
         _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
-        q = tgt_pts[idx]
-        n = tgt_normals[idx]
+        g = tgt_pn[idx]
+        q, n = g[:, :3], g[:, 3:]
         T, rmse = solve_step(T, pts, q, n)
         for _ in range(icp_solves_per_nn - 1):  # static unroll
             T, rmse = solve_step(T, se3.apply(T, src_pts), q, n)
