@@ -214,3 +214,65 @@ class TestEndToEndParity:
         assert rot_err < 1.0
         assert np.abs(T[:3, 3] - t_true).max() < 0.05
         assert int(count) >= (~out).sum() * 0.9
+
+
+class TestRolledSampling:
+    def test_roll_mode_recovers_transform_with_outliers(self):
+        """The shuffle-and-roll sampler (one [M]-row gather + static rolls)
+        must recover a planted transform through 60% outliers just like the
+        independent per-triple sampler."""
+        from tpu3dm.parallel.multipair import ransac_pair_step
+
+        rng = np.random.default_rng(21)
+        R_true, t_true = _random_rigid(rng)
+        n = 384
+        p = rng.normal(size=(n, 3)).astype(np.float32)
+        q = p @ R_true.T + t_true + rng.normal(size=(n, 3)).astype(np.float32) * 0.005
+        out = rng.random(n) < 0.6
+        q[out] = rng.normal(size=(int(out.sum()), 3)).astype(np.float32) * 2
+        for mode in ("roll", "gather"):
+            T, count = ransac_pair_step(
+                jnp.asarray(p), jnp.asarray(q), jnp.ones(n, bool),
+                jax.random.PRNGKey(0), dist_thresh=0.05, iterations=2048,
+                batch_size=1024, sample_mode=mode,
+            )
+            T = np.asarray(T)
+            M = T[:3, :3] @ R_true.T
+            rot_err = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+            assert rot_err < 1.0, (mode, rot_err)
+            assert np.abs(T[:3, 3] - t_true).max() < 0.05, mode
+            assert int(count) >= (~out).sum() * 0.9, mode
+
+    def test_rolled_gathers_are_valid_triples(self):
+        """Every rolled sample row must be a valid (non-padded)
+        correspondence: indices wrap into [0, n_valid)."""
+        from tpu3dm.registration.hypotheses import rolled_sample_gathers
+
+        m, k = 128, 512
+        pq = jnp.arange(m, dtype=jnp.float32)[:, None] * jnp.ones((1, 6))
+        n_valid = jnp.int32(57)  # rows >= 57 are padding
+        ga, gb, gc = rolled_sample_gathers(jax.random.PRNGKey(5), pq, n_valid, k)
+        for g in (ga, gb, gc):
+            assert g.shape == (k, 6)
+            rows = np.asarray(g[:, 0])
+            assert rows.max() < 57
+            assert rows.min() >= 0
+        # coverage: the sample should touch a good fraction of valid rows
+        assert len(np.unique(np.asarray(ga[:, 0]))) > 30
+
+    def test_roll_mode_degenerate_fewer_than_three(self):
+        """n_valid < 3 must fall back to identity (all hypotheses
+        degenerate), matching the reference's < 3-correspondence fallback."""
+        from tpu3dm.parallel.multipair import ransac_pair_step
+
+        p = np.zeros((64, 3), np.float32)
+        q = np.zeros((64, 3), np.float32)
+        valid = np.zeros(64, bool)
+        valid[:2] = True
+        T, count = ransac_pair_step(
+            jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid),
+            jax.random.PRNGKey(0), dist_thresh=0.05, iterations=256,
+            batch_size=256, refit=False, sample_mode="roll",
+        )
+        assert int(count) <= 0
+        np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-6)

@@ -245,3 +245,45 @@ def test_nn_mutual_approx_matches_exact_on_separated_features():
     # identical point sets with small jitter: matches are well separated
     assert (np.asarray(f_ex) == np.asarray(f_ap)).mean() > 0.99
     assert (np.asarray(b_ex) == np.asarray(b_ap)).mean() > 0.99
+
+
+def test_nn_mutual_mask_matches_nn_mutual():
+    """nn_mutual_mask (min-only backward pass) must produce the same forward
+    indices and the same mutuality decisions as the argmin formulation on
+    distinct-distance inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu3dm.ops.nn import nn_mutual, nn_mutual_mask
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((100, 33)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((120, 33)).astype(np.float32))
+    ma = jnp.asarray(rng.random(100) < 0.9)
+    mb = jnp.asarray(rng.random(120) < 0.9)
+
+    idx_fwd, idx_bwd = nn_mutual(a, b, ma, mb)
+    mutual_ref = np.asarray(ma) & (
+        np.asarray(idx_bwd)[np.asarray(idx_fwd)] == np.arange(100)
+    )
+    idx2, mutual2 = nn_mutual_mask(a, b, ma, mb)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx_fwd))
+    np.testing.assert_array_equal(np.asarray(mutual2), mutual_ref)
+
+
+def test_nn_dense_smalld_matches_oracle():
+    """The VPU-expansion dense path (D < SMALL_D_MAX) must agree with the
+    chunked XLA oracle on masked 3-D inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu3dm.ops.nn import nn_search_dense, nn_search_xla
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((257, 3)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((311, 3)).astype(np.float32))
+    mt = jnp.asarray(rng.random(311) < 0.8)
+    d2a, ia = nn_search_dense(q, t, None, mt)
+    d2b, ib = nn_search_xla(q, t, None, mt)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)

@@ -306,7 +306,30 @@ def nn_search_dense(
     target_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-1 NN with the distance matrix materialized (supports leading batch
-    dims).  Best for small/medium clouds; fuses to one MXU matmul + argmin."""
+    dims).  Best for small/medium clouds.
+
+    Two formulations by feature dimension, mirroring the Pallas tier:
+
+      D < SMALL_D_MAX (3-D points): per-dimension broadcast FMAs on the VPU —
+      the MXU runs at D/128 tile efficiency at D=3, and the fp32 matmul pays
+      3 passes on top; measured 73.1 -> 43.5 ms for the fused step's 2 NN
+      passes at [2048, 1024, 1024] on v5e.  Also numerically cleaner (true
+      squared distances, no |t|^2 - 2qt cancellation).
+
+      D >= SMALL_D_MAX (33-D FPFH): one MXU matmul + fused reductions.
+    """
+    d = query.shape[-1]
+    if d < SMALL_D_MAX:
+        bias = jnp.zeros(target.shape[:-1], query.dtype)
+        if target_mask is not None:
+            bias = jnp.where(target_mask, bias, BIG)
+        d2 = bias[..., None, :]
+        for k in range(d):  # static unroll; XLA fuses into one [N, M] kernel
+            diff = query[..., :, k, None] - target[..., None, :, k]
+            d2 = d2 + diff * diff
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        best = jnp.min(d2, axis=-1)
+        return jnp.maximum(best, 0.0), idx
     tsq = jnp.sum(target * target, axis=-1)
     if target_mask is not None:
         tsq = jnp.where(target_mask, tsq, BIG)
@@ -392,3 +415,55 @@ def nn_mutual(
     _, idx_fwd = nn_search(a, b, mask_a, mask_b)
     _, idx_bwd = nn_search(b, a, mask_b, mask_a)
     return idx_fwd, idx_bwd
+
+
+def nn_mutual_mask(
+    a: jax.Array,
+    b: jax.Array,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+    *,
+    approx: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward NN + mutuality mask from ONE distance matrix, min-only.
+
+    Same job as ``nn_mutual`` + the caller-side ``idx_bwd[idx_fwd] == i``
+    check, but the backward direction needs only the COLUMN MINIMA, not the
+    column argmin: row i is mutual iff its own best distance equals the best
+    distance anyone achieves to its chosen column,
+
+        mutual(i)  <=>  d2[i, idx_fwd[i]] <= colmin[idx_fwd[i]].
+
+    Dropping the column argmin (index tracking + the [Na]-gather of idx_bwd)
+    measured 88.4 -> 75.6 ms for the batched correspondence stage at
+    [2048, 1024, 1024] on v5e.  Tie semantics: on EXACT distance ties
+    (duplicate points/features) every tying row passes the check, where the
+    argmin formulation admits only the first — RANSAC's degenerate-sample
+    guards absorb the difference (the reference's mutual filter is Open3D's,
+    src/matcher/ransac.py:47,85).
+
+    Returns:
+      (idx_fwd [..., Na] int32, mutual [..., Na] bool).
+    """
+    _, asq = _prep(a, mask_a)
+    _, bsq = _prep(b, mask_b)
+    if approx:
+        cross = jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            dimension_numbers=(
+                ((a.ndim - 1,), (b.ndim - 1,)),
+                (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2))),
+            ),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = jnp.einsum("...nd,...md->...nm", a, b)
+    d2 = asq[..., :, None] + bsq[..., None, :] - 2.0 * cross
+    idx_fwd = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    dmin_fwd = jnp.min(d2, axis=-1)
+    colmin = jnp.min(d2, axis=-2)
+    mutual = dmin_fwd <= jnp.take_along_axis(colmin, idx_fwd, axis=-1)
+    if mask_a is not None:
+        mutual = mutual & mask_a
+    return idx_fwd, mutual

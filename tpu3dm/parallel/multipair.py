@@ -23,9 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu3dm.ops.compact import compaction_permutation
 from tpu3dm.parallel.mesh import PAIR_AXIS
 from tpu3dm.registration.hypotheses import (
+    fit_score_gathers,
     prepare_correspondences,
     refit_inliers,
     rescore_rows,
+    rolled_sample_gathers,
     rot_cos_planar,
     sample_fit_score,
     winner_T,
@@ -49,11 +51,22 @@ def ransac_pair_step(
     mode_angle_deg: float = 15.0,
     score_subset: int = 0,
     rescore_top: int = 128,
+    sample_mode: str = "roll",
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
 
     Planar hypothesis chunks (registration/hypotheses.py) under lax.scan;
     optional exact Horn re-fit of the winner on its inlier set.
+
+    ``sample_mode``: "roll" (default) builds each chunk's K triples from ONE
+    [M]-row gather + static rolls (hypotheses.rolled_sample_gathers) — TPU
+    row gathers run at element rate, and the per-triple gathers of the
+    "gather" mode measured 228 ms of a 629 ms fused distinct-pair batch.
+    "gather" keeps the independent per-triple sampler
+    (registration.ransac._sample_distinct_triples), the literal analog of
+    the reference's np.random.choice (src/matcher/ransac.py:143).  Both
+    samplers draw marginally-uniform valid triples; elected results differ
+    only as different RANSAC seeds do.
 
     ``score_subset`` > 0 enables TWO-STAGE scoring: every hypothesis is first
     scored against only ~score_subset stride-sampled correspondences (the
@@ -112,18 +125,23 @@ def ransac_pair_step(
         n_top = min(rescore_top, batch_size)
 
     def fit_chunk(k_chunk):
-        triples = _sample_distinct_triples(k_chunk, batch_size, jnp.maximum(n_valid, 3))
-        if use_subset:
-            return sample_fit_score(
-                pq, F_s, c_s, valid_s, triples, thresh_sq,
+        Fx, cx, vx = (F_s, c_s, valid_s) if use_subset else (F, c, valid)
+        if sample_mode == "roll":
+            ga, gb, gc = rolled_sample_gathers(
+                k_chunk, pq, n_valid, batch_size
+            )
+            return fit_score_gathers(
+                ga, gb, gc, Fx, cx, vx, thresh_sq,
                 edge_length_ratio=edge_length_ratio,
                 approx_score=approx_score,
-                return_features=True,
+                return_features=use_subset,
             )
+        triples = _sample_distinct_triples(k_chunk, batch_size, jnp.maximum(n_valid, 3))
         return sample_fit_score(
-            pq, F, c, valid, triples, thresh_sq,
+            pq, Fx, cx, vx, triples, thresh_sq,
             edge_length_ratio=edge_length_ratio,
             approx_score=approx_score,
+            return_features=use_subset,
         )
 
     keys = jax.random.split(key, n_chunks)

@@ -37,6 +37,7 @@ from tpu3dm.registration.fused import fused_register_step
         "verify_iters",
         "score_subset",
         "rescore_top",
+        "sample_mode",
     ),
 )
 def batched_register(
@@ -61,6 +62,7 @@ def batched_register(
     verify_iters: int = 8,
     score_subset: int = 0,
     rescore_top: int = 128,
+    sample_mode: str = "roll",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -87,5 +89,6 @@ def batched_register(
         verify_iters=verify_iters,
         score_subset=score_subset,
         rescore_top=rescore_top,
+        sample_mode=sample_mode,
     )
     return jax.vmap(step)(*arrays)

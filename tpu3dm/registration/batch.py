@@ -50,13 +50,14 @@ logger = setup_logging(__name__)
     static_argnames=(
         "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
         "approx_score", "rescue_restarts", "verify_iters",
-        "score_subset", "rescore_top",
+        "score_subset", "rescore_top", "sample_mode",
     ),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
     *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
     rescue_restarts=0, verify_iters=8, score_subset=0, rescore_top=128,
+    sample_mode="roll",
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -75,6 +76,7 @@ def _batched_step(
             verify_iters=verify_iters,
             score_subset=score_subset,
             rescore_top=rescore_top,
+            sample_mode=sample_mode,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -122,6 +124,7 @@ def register_pairs_batched(
     rescue_restarts: int | None = None,
     score_subset: int | None = None,
     rescore_top: int | None = None,
+    sample_mode: str = "roll",
     checkpoint=None,
     pair_names: list[str] | None = None,
     pair_keys: np.ndarray | None = None,
@@ -236,6 +239,7 @@ def register_pairs_batched(
                 rescue_restarts=rescue_restarts,
                 score_subset=score_subset,
                 rescore_top=rescore_top,
+                sample_mode=sample_mode,
             )
 
     else:
@@ -252,6 +256,7 @@ def register_pairs_batched(
                 rescue_restarts=rescue_restarts,
                 score_subset=score_subset,
                 rescore_top=rescore_top,
+                sample_mode=sample_mode,
             )
 
     for cap, idxs in sorted(buckets.items()):

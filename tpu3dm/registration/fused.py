@@ -16,12 +16,79 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dm.core import se3
-from tpu3dm.ops.nn import nn_mutual, nn_search
+from tpu3dm.ops.nn import nn_mutual_mask, nn_search
 from tpu3dm.parallel.multipair import ransac_pair_step
 
 
 def _nn(query, target, qmask, tmask):
     return nn_search(query, target, qmask, tmask)
+
+
+def _solve6_cholesky(A, b):
+    """Solve the symmetric 6x6 system with a statically unrolled Cholesky.
+
+    ``A`` is a 6x6 nested list (lower triangle used) and ``b`` a list of 6;
+    entries are arbitrary (possibly batched) arrays.  Everything stays in
+    planar per-entry arrays: under vmap each entry is one [B] lane-vector, so
+    the whole factorization is ~100 VPU ops — no [6, 6] matrix materializes
+    and no ``jnp.linalg.solve`` LU (whose tiny-batched TPU lowering dominated
+    the ICP solve stage; see ``_p2pl_delta_planar``).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = []
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y.append(s / L[i][i])
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _p2pl_delta_planar(pts, q, n, w):
+    """Point-to-plane Gauss-Newton step xi [6] from masked correspondences.
+
+    Planar formulation of ``solve(J^T W J, -J^T W r)``: the Jacobian row for
+    point p with target normal n is [n, p x n]; building J as a [M, 6] array
+    and reducing with einsum put two fp32 MXU matmuls (depth M, output 6x6 —
+    128x-padded tiles) plus a tiny-batch LU in the hot loop, together most of
+    the measured 73.7 ms solve stage (B=2048, M=1024, 8 solves).  Here the 21
+    unique A entries and 6 b entries are plain masked VPU reductions over
+    [M]-shaped columns and the solve is the unrolled Cholesky above.
+    """
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    j1, j2, j3 = nx, ny, nz
+    j4 = py * nz - pz * ny
+    j5 = pz * nx - px * nz
+    j6 = px * ny - py * nx
+    r = (px - q[:, 0]) * nx + (py - q[:, 1]) * ny + (pz - q[:, 2]) * nz
+    J = (j1, j2, j3, j4, j5, j6)
+    A = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            A[i][j] = jnp.sum(w * J[i] * J[j])
+    trA = A[0][0] + A[1][1] + A[2][2] + A[3][3] + A[4][4] + A[5][5]
+    reg = 1e-6 * trA / 6.0 + 1e-12
+    for i in range(6):
+        A[i][i] = A[i][i] + reg
+    b = [-jnp.sum(w * J[i] * r) for i in range(6)]
+    xi = jnp.stack(_solve6_cholesky(A, b))
+    return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
 
 
 def _ransac_with_rescue(
@@ -35,6 +102,7 @@ def _ransac_with_rescue(
     approx_score,
     rescue_restarts,
     verify_iters,
+    sample_mode="roll",
 ):
     """Batched alias rescue: 2R candidate poses (two RANSAC modes x R
     restarts), each verified by a short on-device ICP; elect by verified
@@ -58,6 +126,7 @@ def _ransac_with_rescue(
             batch_size=ransac_batch,
             approx_score=approx_score,
             two_mode=True,
+            sample_mode=sample_mode,
         )
 
     Ts, counts = jax.vmap(one_restart)(keys)  # [R, 2, 4, 4], [R, 2]
@@ -78,13 +147,7 @@ def _ransac_with_rescue(
             g = tgt_pn[idx]
             q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < ver_thresh_sq) & src_mask
-            w = m.astype(jnp.float32)
-            r = jnp.sum((pts - q) * nv, axis=1) * w
-            J = jnp.concatenate([nv, jnp.cross(pts, nv)], axis=1) * w[:, None]
-            A = J.T @ J
-            A = A + 1e-6 * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
-            xi = jnp.linalg.solve(A, -J.T @ r)
-            xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+            xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
             return se3.exp_se3(xi) @ T, None
 
         T, _ = jax.lax.scan(it, T0, None, length=verify_iters)
@@ -125,6 +188,7 @@ def _ransac_with_rescue(
         "verify_iters",
         "score_subset",
         "rescore_top",
+        "sample_mode",
     ),
 )
 def fused_register_step(
@@ -151,6 +215,7 @@ def fused_register_step(
     verify_iters: int = 8,
     score_subset: int = 0,
     rescore_top: int = 128,
+    sample_mode: str = "roll",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -180,14 +245,14 @@ def fused_register_step(
     # --- correspondences in FPFH space -------------------------------------
     valid = src_mask
     if mutual_filter:
-        # One distance matrix, two axis reductions (ops/nn.py nn_mutual);
+        # One distance matrix, min-only backward direction (ops/nn.py
+        # nn_mutual_mask — drops the column argmin + idx_bwd gather);
         # approx_features runs the 33-D feature matmul in bf16 (quality-gated
         # end-to-end by the bench; RANSAC tolerates flipped near-tie matches).
-        idx_fwd, idx_bwd = nn_mutual(
+        idx_fwd, mutual = nn_mutual_mask(
             src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
         )
-        ns = src_pts.shape[0]
-        valid = valid & (idx_bwd[idx_fwd] == jnp.arange(ns, dtype=jnp.int32))
+        valid = valid & mutual
     else:
         _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask)
     p_all = src_pts
@@ -205,6 +270,7 @@ def fused_register_step(
             approx_score=approx_score,
             rescue_restarts=rescue_restarts,
             verify_iters=verify_iters,
+            sample_mode=sample_mode,
         )
     else:
         # --- batched RANSAC --------------------------------------------------
@@ -219,6 +285,7 @@ def fused_register_step(
             approx_score=approx_score,
             score_subset=score_subset,
             rescore_top=rescore_top,
+            sample_mode=sample_mode,
         )
     fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)
 
@@ -233,14 +300,7 @@ def fused_register_step(
         # |t|^2 - 2qt + |q|^2).
         d2 = jnp.sum((pts - q) ** 2, axis=1)
         m = (d2 < thresh_sq) & src_mask
-        w = m.astype(jnp.float32)
-        r = jnp.sum((pts - q) * n, axis=1)
-        J = jnp.concatenate([n, jnp.cross(pts, n)], axis=1)
-        A = jnp.einsum("n,ni,nj->ij", w, J, J)
-        b = -jnp.einsum("n,ni,n->i", w, J, r)
-        A = A + 1e-6 * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-12 * jnp.eye(6)
-        xi = jnp.linalg.solve(A, b)
-        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        xi = _p2pl_delta_planar(pts, q, n, m.astype(jnp.float32))
         rmse = jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1))
         return se3.exp_se3(xi) @ T, rmse
 

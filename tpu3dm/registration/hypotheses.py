@@ -207,6 +207,89 @@ def sample_fit_score(
     ga = pq[triples[:, 0]]  # [K, 6]
     gb = pq[triples[:, 1]]
     gc = pq[triples[:, 2]]
+    return fit_score_gathers(
+        ga, gb, gc, F, c, valid, thresh_sq,
+        edge_length_ratio=edge_length_ratio,
+        use_checkers=use_checkers,
+        approx_score=approx_score,
+        return_features=return_features,
+    )
+
+
+def rolled_sample_gathers(
+    key: jax.Array,
+    pq: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Hypothesis sample gathers (ga, gb, gc [K, 6]) from ONE [M] row gather.
+
+    TPU row gathers run at element rate, not HBM rate: the three per-triple
+    ``pq[triples[:, i]]`` gathers measured 228 ms of a 629 ms fused distinct-
+    pair batch (B=2048, K=4096, M=1024 on v5e) — the single largest cost in
+    the whole register step.  This sampler instead gathers M iid-uniform
+    valid rows ONCE and forms triples as static ROLLS of that sample:
+    rep r pairs ``(S[j], S[j+s1_r], S[j+s2_r])`` — rolls are slice+concat,
+    not gathers.
+
+    Marginally each triple is 3 iid uniform draws from the valid
+    correspondences, exactly like independent triple sampling; within-triple
+    collisions (~3/n_valid) produce duplicate points and degenerate out via
+    the frame check (counts -1), the same guard the reference relies on for
+    its np.random.choice samples (src/matcher/ransac.py:143,184-192).  Each
+    sampled row serves 3*K/M triples — at the default shapes (K=4096,
+    M=1024, ~700 valid) the independent sampler already reused each valid
+    correspondence ~17x on average, so coverage is equivalent.
+    """
+    m = pq.shape[0]
+    nv = jnp.maximum(n_valid, 3).astype(jnp.uint32)
+    bits = jax.random.bits(key, (m,), jnp.uint32)
+    S = pq[(bits % nv).astype(jnp.int32)]  # the one gather
+    reps = -(-k // m)
+    # Distinct static offset pairs per rep; co-prime-ish spreads so no two
+    # reps generate the same (j, j+s1, j+s2) index pattern.
+    offs = ((1, 2), (3, 7), (11, 23), (41, 87),
+            (5, 13), (17, 37), (29, 61), (53, 109))
+    if reps > len(offs):
+        # Extend deterministically for very large K/M ratios.
+        offs = tuple(
+            offs[i % len(offs)] if i < len(offs)
+            else (2 * i + 1, 4 * i + 3)
+            for i in range(reps)
+        )
+    gbs, gcs = [], []
+    for r in range(reps):
+        s1, s2 = offs[r]
+        gbs.append(jnp.roll(S, -s1, axis=0))
+        gcs.append(jnp.roll(S, -s2, axis=0))
+    if reps == 1:
+        return S[:k], gbs[0][:k], gcs[0][:k]
+    tile = (reps,) + (1,) * (S.ndim - 1)
+    return (
+        jnp.tile(S, tile)[:k],
+        jnp.concatenate(gbs)[:k],
+        jnp.concatenate(gcs)[:k],
+    )
+
+
+def fit_score_gathers(
+    ga: jax.Array,
+    gb: jax.Array,
+    gc: jax.Array,
+    F: jax.Array,
+    c: jax.Array,
+    valid: jax.Array,
+    thresh_sq: jax.Array,
+    *,
+    edge_length_ratio: float | jax.Array = 0.9,
+    use_checkers: bool = True,
+    approx_score: bool = False,
+    return_features: bool = False,
+) -> tuple:
+    """Fit + checker + score from pre-gathered sample rows (ga/gb/gc [K, 6]).
+
+    The post-gather body of ``sample_fit_score``; also the entry point for
+    gather-free samplers (``rolled_sample_gathers``)."""
     pa, qa = ga[:, :3], ga[:, 3:]
     pb, qb = gb[:, :3], gb[:, 3:]
     pc_, qc = gc[:, :3], gc[:, 3:]
