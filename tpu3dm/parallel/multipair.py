@@ -99,10 +99,19 @@ def ransac_pair_step(
     (Ts [2,4,4], counts [2]) ordered (primary, secondary).
     """
     thresh_sq = jnp.float32(dist_thresh) ** 2
-    order = compaction_permutation(valid)
-    p_all = p_all[order]
-    q_all = q_all[order]
-    valid = valid[order]
+    if sample_mode == "roll":
+        # No data compaction: the roll sampler needs only the rank->original
+        # -index map, which composes into its single sample gather
+        # (rolled_sample_gathers).  Gathering p/q/valid through the
+        # permutation cost 3 more row gathers per pair for nothing — scoring,
+        # centering, and the refit are all mask-weighted and order-blind.
+        rank_to_idx = compaction_permutation(valid)
+    else:
+        order = compaction_permutation(valid)
+        p_all = p_all[order]
+        q_all = q_all[order]
+        valid = valid[order]
+        rank_to_idx = None
     n_valid = jnp.sum(valid.astype(jnp.int32))
     # Common shift: centroid of the valid correspondence points.
     w = valid.astype(jnp.float32)[:, None]
@@ -128,7 +137,7 @@ def ransac_pair_step(
         Fx, cx, vx = (F_s, c_s, valid_s) if use_subset else (F, c, valid)
         if sample_mode == "roll":
             ga, gb, gc = rolled_sample_gathers(
-                k_chunk, pq, n_valid, batch_size
+                k_chunk, pq, n_valid, batch_size, rank_to_idx=rank_to_idx
             )
             return fit_score_gathers(
                 ga, gb, gc, Fx, cx, vx, thresh_sq,

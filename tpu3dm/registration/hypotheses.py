@@ -221,6 +221,8 @@ def rolled_sample_gathers(
     pq: jax.Array,
     n_valid: jax.Array,
     k: int,
+    *,
+    rank_to_idx: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Hypothesis sample gathers (ga, gb, gc [K, 6]) from ONE [M] row gather.
 
@@ -240,11 +242,19 @@ def rolled_sample_gathers(
     sampled row serves 3*K/M triples — at the default shapes (K=4096,
     M=1024, ~700 valid) the independent sampler already reused each valid
     correspondence ~17x on average, so coverage is equivalent.
+
+    ``rank_to_idx``: optional valid-first permutation (ops/compact.py).  When
+    given, ``pq`` is in ORIGINAL (uncompacted) order and sampled ranks are
+    mapped through it — one extra [M] int gather instead of compacting the
+    whole correspondence set (3 row gathers) up front.
     """
     m = pq.shape[0]
     nv = jnp.maximum(n_valid, 3).astype(jnp.uint32)
     bits = jax.random.bits(key, (m,), jnp.uint32)
-    S = pq[(bits % nv).astype(jnp.int32)]  # the one gather
+    ranks = (bits % nv).astype(jnp.int32)
+    if rank_to_idx is not None:
+        ranks = rank_to_idx[ranks]
+    S = pq[ranks]  # the one row gather
     reps = -(-k // m)
     # Distinct static offset pairs per rep; co-prime-ish spreads so no two
     # reps generate the same (j, j+s1, j+s2) index pattern.
