@@ -61,6 +61,9 @@ APPROX_FEATURES = True
 # be large to amortize the fixed cost (measured scan: B=256 -> 3683 pairs/s,
 # B=1024 -> 4640, B=2048 -> 5028, B=4096 -> 5171; 2048 balances throughput
 # against compile time).
+# Round 3 (roll sampling + VPU d3 NN + min-only mutual + planar p2pl solve;
+# same quality gates): same-pair 104.9 ms/2048 = 19,518 pairs/s, distinct
+# 238.5 ms = 8,588 pairs/s — 2.0x/2.6x over the round-2 code.
 PAIR_BATCH = 2048
 TIMED_REPS = 5
 DISTINCT_PAIRS = 8  # distinct preprocessed pairs for the secondary metric
