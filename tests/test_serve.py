@@ -1,0 +1,175 @@
+"""Serving runtime (tpu3dm/serve): micro-batching engine + TCP front-end."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tpu3dm.core.config import PipelineConfig
+from tpu3dm.io.synthetic import make_benchmark_pair
+from tpu3dm.preprocess.pipeline import preprocess_points_batch
+from tpu3dm.registration.batch import register_pairs_batched
+from tpu3dm.serve import (
+    RegistrationClient,
+    RegistrationServer,
+    ServeConfig,
+    ServeEngine,
+)
+
+# Small, shared shapes so every test reuses one compiled program.
+N_POINTS = 1500
+SERVE = ServeConfig(
+    max_batch=8,
+    max_delay_ms=250.0,  # long linger -> quick submits coalesce deterministically
+    bucket_multiple=64,
+    ransac_iterations=512,
+    icp_iterations=4,
+)
+
+
+def _rot_err_deg(T, T_true):
+    M = np.asarray(T)[:3, :3] @ np.asarray(T_true)[:3, :3].T
+    return float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig.with_voxel_size(0.3)
+
+
+@pytest.fixture(scope="module")
+def pairs(cfg):
+    """Four preprocessed (src, tgt, T_true) requests of identical capacity."""
+    raw, trues = [], []
+    for seed in range(4):
+        s, t, T = make_benchmark_pair(N_POINTS, seed=seed, sigma=0.005)
+        raw.extend([s, t])
+        trues.append(T)
+    procs = preprocess_points_batch(raw, cfg.preprocess, full_normals=False)
+    return [(procs[i], procs[i + 1]) for i in range(0, len(procs), 2)], trues
+
+
+def test_engine_coalesces_and_recovers(cfg, pairs):
+    """Concurrent submits coalesce into one dispatch; every request recovers
+    its transform; results match a direct batched call with the same keys."""
+    plist, trues = pairs
+    with ServeEngine(cfg, SERVE) as eng:
+        futs = [eng.submit(s, t) for s, t in plist]
+        results = [f.result(timeout=600) for f in futs]
+        st = eng.stats()
+
+    assert st["requests"] == 4
+    assert st["batches"] == 1, "quick submits must share one micro-batch"
+    assert st["mean_batch_size"] == 4.0
+    assert st["latency_ms"]["p95"] > 0
+
+    for r, T_true in zip(results, trues):
+        assert _rot_err_deg(r.transformation, T_true) < 2.0
+        assert r.fitness > 0.2
+        assert r.bucket > 0
+
+    # Key derivation is per-request-sequence, so the same workload through the
+    # direct batch API with those keys must reproduce the engine bit-for-bit.
+    from tpu3dm.serve.engine import _request_key
+
+    keys = np.stack([_request_key(i) for i in range(4)])
+    direct = register_pairs_batched(
+        plist, cfg, pair_keys=keys,
+        bucket_multiple=SERVE.bucket_multiple,
+        ransac_iterations=SERVE.ransac_iterations,
+        icp_iterations=SERVE.icp_iterations,
+        icp_solves_per_nn=SERVE.icp_solves_per_nn,
+        approx_score=SERVE.approx_score,
+        sample_mode=SERVE.sample_mode,
+    )
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(
+            r.transformation, direct.transforms[i], atol=1e-5
+        )
+
+
+def test_engine_result_independent_of_batch_composition(cfg, pairs):
+    """A request's result must not depend on which micro-batch it landed in:
+    submitting pair 0 alone reproduces its grouped-batch result."""
+    plist, _ = pairs
+    with ServeEngine(cfg, SERVE) as eng:
+        grouped = [eng.submit(s, t) for s, t in plist]
+        g0 = grouped[0].result(timeout=600)
+    with ServeEngine(cfg, SERVE) as eng:
+        solo = eng.register(*plist[0], timeout=600)
+    np.testing.assert_allclose(solo.transformation, g0.transformation, atol=1e-5)
+
+
+def test_engine_rejects_after_close(cfg, pairs):
+    plist, _ = pairs
+    eng = ServeEngine(cfg, SERVE)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(*plist[0])
+
+
+def test_server_roundtrip_inline_and_path(cfg, tmp_path):
+    """TCP round trip: inline base64 points and cached path requests."""
+    from tpu3dm.io.ply import write_ply
+
+    s, t, T_true = make_benchmark_pair(N_POINTS, seed=0, sigma=0.005)
+    tgt_path = tmp_path / "target.ply"
+    write_ply(tgt_path, t.astype(np.float32))
+
+    with RegistrationServer(port=0, pipeline=cfg, serve=SERVE) as server:
+        with RegistrationClient(server.host, server.port) as c:
+            assert c.ping()
+            # inline source vs on-disk target (the steady-state serving shape:
+            # one cached model, a stream of scans)
+            r1 = c.register(s, str(tgt_path))
+            assert _rot_err_deg(np.asarray(r1["transformation"]), T_true) < 2.0
+            assert r1["fitness"] > 0.2
+            r2 = c.register(s, str(tgt_path))
+            assert _rot_err_deg(np.asarray(r2["transformation"]), T_true) < 2.0
+            st = c.stats()
+        assert st["requests"] == 2
+        assert st["cloud_cache"]["hits"] == 1, "second path request must hit the LRU"
+        assert st["cloud_cache"]["misses"] == 1
+
+
+def test_server_concurrent_clients_share_a_batch(cfg, pairs, tmp_path):
+    """Requests from separate connections coalesce into shared dispatches."""
+    plist, trues = pairs
+    # Re-export the raw clouds so clients can send them.
+    raws = [make_benchmark_pair(N_POINTS, seed=s, sigma=0.005)[:2] for s in range(4)]
+
+    results = [None] * 4
+    errors = []
+
+    with RegistrationServer(port=0, pipeline=cfg, serve=SERVE) as server:
+
+        def worker(i):
+            try:
+                with RegistrationClient(server.host, server.port, timeout=600) as c:
+                    results[i] = c.register(raws[i][0], raws[i][1])
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        st = server.engine.stats()
+
+    assert not errors, errors
+    for i, T_true in enumerate(trues):
+        assert _rot_err_deg(np.asarray(results[i]["transformation"]), T_true) < 2.0
+    assert st["requests"] == 4
+    # Preprocessing skew can split the group; require SOME cross-connection
+    # coalescing rather than an exact single batch.
+    assert st["batches"] <= 3, st
+
+
+def test_server_error_reporting(cfg):
+    with RegistrationServer(port=0, pipeline=cfg, serve=SERVE) as server:
+        with RegistrationClient(server.host, server.port) as c:
+            with pytest.raises(RuntimeError, match="nonexistent"):
+                c.register("/nonexistent/cloud.ply", "/nonexistent/cloud2.ply")
+            # connection survives the error
+            assert c.ping()

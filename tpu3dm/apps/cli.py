@@ -441,6 +441,33 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Run the request-batching registration server (serve/server.py)."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.serve import RegistrationServer, ServeConfig
+
+    server = RegistrationServer(
+        args.host,
+        args.port,
+        pipeline=PipelineConfig.with_voxel_size(args.voxel_size),
+        serve=ServeConfig(
+            max_batch=args.max_batch,
+            max_delay_ms=args.max_delay_ms,
+            ransac_iterations=args.ransac_iterations,
+            icp_iterations=args.icp_iterations,
+            rescue_restarts=args.rescue_restarts,
+        ),
+        cache_size=args.cache_size,
+    )
+    print(json.dumps({"listening": f"{server.host}:{server.port}"}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        server.close()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="tpu3dm", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -547,6 +574,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused step (two-mode RANSAC x restarts + on-device "
                         "ICP verification)")
     p.set_defaults(fn=_cmd_register_batch)
+
+    p = sub.add_parser(
+        "serve",
+        help="registration server: JSON-lines TCP front of the micro-batching engine",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8421)
+    p.add_argument("--voxel-size", type=float, default=0.3)
+    p.add_argument("--max-batch", type=int, default=256,
+                   help="max pairs coalesced into one device dispatch")
+    p.add_argument("--max-delay-ms", type=float, default=5.0,
+                   help="linger after the first request of a batch")
+    p.add_argument("--ransac-iterations", type=int, default=4096)
+    p.add_argument("--icp-iterations", type=int, default=8)
+    p.add_argument("--rescue-restarts", type=int, default=0,
+                   help=">0 enables the batched alias rescue per request")
+    p.add_argument("--cache-size", type=int, default=64,
+                   help="LRU capacity of the preprocessed-cloud path cache")
+    p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")
     p.add_argument("--robust-delta", type=float, default=None,

@@ -1,0 +1,11 @@
+from tpu3dm.serve.client import RegistrationClient
+from tpu3dm.serve.engine import PairResult, ServeConfig, ServeEngine
+from tpu3dm.serve.server import RegistrationServer
+
+__all__ = [
+    "PairResult",
+    "RegistrationClient",
+    "RegistrationServer",
+    "ServeConfig",
+    "ServeEngine",
+]
