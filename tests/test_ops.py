@@ -287,3 +287,92 @@ def test_nn_dense_smalld_matches_oracle():
     d2b, ib = nn_search_xla(q, t, None, mt)
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Lane-fused NN kernels (ops/nn_lane.py) vs the dense oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nq,nt,d", [(256, 256, 3), (200, 300, 3), (256, 512, 33)])
+def test_nn_lane_interpret_matches_dense(nq, nt, d):
+    """Lane-fused kernel (interpret mode) must match the dense path exactly,
+    including target masking and non-multiple shapes."""
+    from tpu3dm.ops.nn import nn_search_dense
+    from tpu3dm.ops.nn_lane import nn_search_lane
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(nt, d)).astype(np.float32))
+    tmask = jnp.asarray(rng.random(nt) > 0.2)
+    d2d, idxd = nn_search_dense(q, t, None, tmask)
+    d2l, idxl = nn_search_lane(q, t, None, tmask, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idxl), np.asarray(idxd))
+    np.testing.assert_allclose(np.asarray(d2l), np.asarray(d2d), atol=1e-4)
+
+
+def test_nn_mutual_mask_lane_matches_dense():
+    """Mutual-mask lane kernel: forward indices and mutuality bits must match
+    the dense formulation (fp32; identical tie semantics)."""
+    from tpu3dm.ops.nn import nn_mutual_mask
+    from tpu3dm.ops.nn_lane import nn_mutual_mask_lane
+
+    rng = np.random.default_rng(4)
+    na, nb, d = 384, 512, 33
+    a = jnp.asarray(rng.normal(size=(na, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32))
+    ma = jnp.asarray(rng.random(na) > 0.1)
+    mb = jnp.asarray(rng.random(nb) > 0.1)
+    idxd, mutd = nn_mutual_mask(a, b, ma, mb)
+    idxl, mutl = nn_mutual_mask_lane(a, b, ma, mb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idxl), np.asarray(idxd))
+    np.testing.assert_array_equal(np.asarray(mutl), np.asarray(mutd))
+
+
+def test_nn_lane_vmapped_matches_dense_batch():
+    """The production schedule: vmap over a pair-lane batch axis adds the
+    batch grid dimension; results must equal the batched dense path."""
+    from tpu3dm.ops.nn import nn_search_dense
+    from tpu3dm.ops.nn_lane import nn_mutual_mask_lane, nn_search_lane
+
+    rng = np.random.default_rng(5)
+    B, m, n = 3, 128, 256
+    q = jnp.asarray(rng.normal(size=(B, m, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(B, n, 3)).astype(np.float32))
+    tm = jnp.asarray(rng.random((B, n)) > 0.2)
+    d2d, idxd = nn_search_dense(q, t, None, tm)
+    d2l, idxl = jax.vmap(
+        lambda a, b, c: nn_search_lane(a, b, None, c, interpret=True)
+    )(q, t, tm)
+    np.testing.assert_array_equal(np.asarray(idxl), np.asarray(idxd))
+    np.testing.assert_allclose(np.asarray(d2l), np.asarray(d2d), atol=1e-4)
+
+    from tpu3dm.ops.nn import nn_mutual_mask
+
+    f = jnp.asarray(rng.normal(size=(B, m, 33)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, n, 33)).astype(np.float32))
+    fm = jnp.asarray(rng.random((B, m)) > 0.1)
+    gm = jnp.asarray(rng.random((B, n)) > 0.1)
+    idxd2, mutd2 = nn_mutual_mask(f, g, fm, gm)
+    idxl2, mutl2 = jax.vmap(
+        lambda a, b, c, d: nn_mutual_mask_lane(a, b, c, d, interpret=True)
+    )(f, g, fm, gm)
+    np.testing.assert_array_equal(np.asarray(idxl2), np.asarray(idxd2))
+    np.testing.assert_array_equal(np.asarray(mutl2), np.asarray(mutd2))
+
+
+def test_nn_mutual_mask_lane_approx_is_exact_f32():
+    """The lane kernel accepts ``approx`` for API parity but executes fp32
+    (Mosaic rejects bf16 matmul operands): approx=True must equal the EXACT
+    dense result, not the bf16 one."""
+    from tpu3dm.ops.nn import nn_mutual_mask
+    from tpu3dm.ops.nn_lane import nn_mutual_mask_lane
+
+    rng = np.random.default_rng(6)
+    na, nb, d = 256, 256, 33
+    a = jnp.asarray(np.abs(rng.normal(size=(na, d))).astype(np.float32) * 50)
+    b = jnp.asarray(np.abs(rng.normal(size=(nb, d))).astype(np.float32) * 50)
+    idxd, mutd = nn_mutual_mask(a, b, approx=False)
+    idxl, mutl = nn_mutual_mask_lane(a, b, approx=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idxl), np.asarray(idxd))
+    np.testing.assert_array_equal(np.asarray(mutl), np.asarray(mutd))

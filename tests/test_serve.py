@@ -173,3 +173,25 @@ def test_server_error_reporting(cfg):
                 c.register("/nonexistent/cloud.ply", "/nonexistent/cloud2.ply")
             # connection survives the error
             assert c.ping()
+
+
+def test_serve_benchmark_smoke(tmp_path):
+    """The --serve benchmark phase runs end-to-end and gates quality."""
+    from tpu3dm.apps.benchmark import run_serve_benchmark
+
+    out = tmp_path / "serve.json"
+    r = run_serve_benchmark(
+        8,
+        n_points=N_POINTS,
+        n_distinct=2,
+        clients=2,
+        max_batch=4,
+        max_delay_ms=50.0,
+        ransac_iterations=512,
+        icp_iterations=4,
+        out_json=str(out),
+    )
+    assert out.exists()
+    assert r["quality_ok"], r
+    assert r["requests"] == 8
+    assert r["mean_batch_size"] >= 1.0

@@ -458,6 +458,112 @@ def run_multiway_benchmark(
     return report
 
 
+def run_serve_benchmark(
+    n_requests: int = 512,
+    *,
+    n_points: int = 20_000,
+    n_distinct: int = 8,
+    clients: int = 8,
+    max_batch: int = 256,
+    max_delay_ms: float = 5.0,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+    out_json: str = "benchmark_serve.json",
+) -> dict:
+    """Online-serving benchmark: sustained requests/s through the
+    micro-batching engine (tpu3dm/serve/engine.py).
+
+    ``clients`` threads submit ``n_requests`` single-pair requests (round-
+    robin over ``n_distinct`` preprocessed pairs) into ONE ServeEngine.
+    Reports sustained request throughput, the engine's achieved batch sizes,
+    per-request latency percentiles, and a per-request quality check
+    (rotation error vs each pair's ground truth).  No reference counterpart
+    (the reference registers one pair per process run, src/main.py:26-38).
+    """
+    import threading
+
+    from tpu3dm.serve import ServeConfig, ServeEngine
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    raw, trues = [], []
+    for s in range(n_distinct):
+        sp, tp, tt = make_benchmark_pair(n_points, seed=s, sigma=0.01)
+        raw.extend([sp, tp])
+        trues.append(tt)
+    t0 = time.time()
+    procs = preprocess_points_batch(raw, cfg.preprocess, full_normals=False)
+    np.asarray(procs[-1].down.features)
+    logger.info("serve bench: ingested %d clouds in %.1fs", len(raw), time.time() - t0)
+    pairs = [(procs[i], procs[i + 1]) for i in range(0, len(procs), 2)]
+
+    engine = ServeEngine(
+        cfg,
+        ServeConfig(
+            max_batch=max_batch,
+            max_delay_ms=max_delay_ms,
+            ransac_iterations=ransac_iterations,
+            icp_iterations=icp_iterations,
+        ),
+    )
+    # Warm-up: compile the bucket programs outside the timed window (one
+    # full-batch group so the padded pair-axis sizes match the steady state).
+    warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
+    for f in warm:
+        f.result(timeout=1200)
+
+    results: list = [None] * n_requests
+    def client(cid: int) -> None:
+        futs = []
+        for r in range(cid, n_requests, clients):
+            futs.append((r, engine.submit(*pairs[r % n_distinct])))
+        for r, f in futs:
+            results[r] = f.result(timeout=1200)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    engine_stats = engine.stats()
+    engine.close()
+
+    rot_errs = []
+    for r, res in enumerate(results):
+        T_true = trues[r % n_distinct]
+        M = np.asarray(res.transformation)[:3, :3] @ T_true[:3, :3].T
+        rot_errs.append(
+            float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+        )
+    report = {
+        "requests": n_requests,
+        "clients": clients,
+        "requests_per_sec": round(n_requests / wall, 1),
+        "wall_s": round(wall, 2),
+        "mean_batch_size": round(engine_stats["mean_batch_size"], 1),
+        "max_batch_size": engine_stats["max_batch_size"],
+        "latency_ms": engine_stats.get("latency_ms"),
+        "rot_err_deg_max": round(max(rot_errs), 3),
+        "quality_ok": max(rot_errs) < 2.0,
+        "config": {
+            "max_batch": max_batch,
+            "max_delay_ms": max_delay_ms,
+            "ransac_iterations": ransac_iterations,
+            "icp_iterations": icp_iterations,
+            "n_points": n_points,
+        },
+        "backend": jax.default_backend(),
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info(
+        "serve bench: %.1f req/s (mean batch %.1f, rot_err max %.3f deg) -> %s",
+        report["requests_per_sec"], report["mean_batch_size"],
+        report["rot_err_deg_max"], out_json,
+    )
+    return report
+
+
 def run_large_cloud_benchmark(
     n_points: int = 1_048_576,
     *,
@@ -859,6 +965,19 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         help="A/B the capped (Open3D-parity max_nn) vs uncapped feature "
         "paths: RANSAC fitness + rotation error per config",
     )
+    ap.add_argument(
+        "--serve", type=int, default=0, metavar="N",
+        help="online-serving benchmark: N single-pair requests from "
+        "concurrent clients through the micro-batching engine",
+    )
+    ap.add_argument(
+        "--serve-clients", type=int, default=8,
+        help="client threads for --serve",
+    )
+    ap.add_argument(
+        "--serve-max-batch", type=int, default=256,
+        help="engine micro-batch cap for --serve",
+    )
 
 
 def main(argv=None) -> int:
@@ -867,6 +986,18 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if getattr(args, "track_memory", False):
         Profiler.enable_memory_tracking(True)
+    if args.serve:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_serve.json"
+        run_serve_benchmark(
+            args.serve,
+            clients=args.serve_clients,
+            max_batch=args.serve_max_batch,
+            ransac_iterations=args.ransac_iterations,
+            out_json=out,
+        )
+        return 0
     if args.large:
         # Don't clobber the phase-benchmark artifact with the default name.
         out = args.out_json

@@ -17,10 +17,18 @@ import jax.numpy as jnp
 
 from tpu3dm.core import se3
 from tpu3dm.ops.nn import nn_mutual_mask, nn_search
+from tpu3dm.ops.nn_lane import nn_mutual_mask_hot, nn_search_hot
 from tpu3dm.parallel.multipair import ransac_pair_step
 
 
-def _nn(query, target, qmask, tmask):
+def _nn(query, target, qmask, tmask, impl="dense"):
+    """ICP correspondence search.  ``dense`` (default) is the fused XLA
+    matmul+argmin — measured FASTER than the lane Pallas kernels at every
+    registration shape (ops/nn_lane.py module docstring has the numbers);
+    ``lane``/``lane_icp`` route to the lane kernels for experimentation on
+    other toolchains/shapes."""
+    if impl in ("lane", "lane_icp"):
+        return nn_search_hot(query, target, qmask, tmask)
     return nn_search(query, target, qmask, tmask)
 
 
@@ -103,6 +111,7 @@ def _ransac_with_rescue(
     rescue_restarts,
     verify_iters,
     sample_mode="roll",
+    nn_impl="auto",
 ):
     """Batched alias rescue: 2R candidate poses (two RANSAC modes x R
     restarts), each verified by a short on-device ICP; elect by verified
@@ -143,7 +152,7 @@ def _ransac_with_rescue(
     def verify(T0):
         def it(T, _):
             pts = se3.apply(T, src_pts)
-            _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+            _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
             g = tgt_pn[idx]
             q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < ver_thresh_sq) & src_mask
@@ -152,7 +161,7 @@ def _ransac_with_rescue(
 
         T, _ = jax.lax.scan(it, T0, None, length=verify_iters)
         pts = se3.apply(T, src_pts)
-        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
         d2 = jnp.sum((pts - tgt_pts[idx]) ** 2, axis=1)
         m = (d2 < ver_thresh_sq) & src_mask
         fit = jnp.sum(m.astype(jnp.float32)) / n_src
@@ -189,6 +198,7 @@ def _ransac_with_rescue(
         "score_subset",
         "rescore_top",
         "sample_mode",
+        "nn_impl",
     ),
 )
 def fused_register_step(
@@ -216,6 +226,7 @@ def fused_register_step(
     score_subset: int = 0,
     rescore_top: int = 128,
     sample_mode: str = "roll",
+    nn_impl: str = "dense",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -249,12 +260,18 @@ def fused_register_step(
         # nn_mutual_mask — drops the column argmin + idx_bwd gather);
         # approx_features runs the 33-D feature matmul in bf16 (quality-gated
         # end-to-end by the bench; RANSAC tolerates flipped near-tie matches).
-        idx_fwd, mutual = nn_mutual_mask(
-            src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
-        )
+        if nn_impl == "lane":
+            idx_fwd, mutual = nn_mutual_mask_hot(
+                src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
+            )
+        else:
+            # Dense bf16 formulation — the measured winner (see _nn).
+            idx_fwd, mutual = nn_mutual_mask(
+                src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
+            )
         valid = valid & mutual
     else:
-        _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask)
+        _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask, nn_impl)
     p_all = src_pts
     q_all = tgt_pts[idx_fwd]
 
@@ -271,6 +288,7 @@ def fused_register_step(
             rescue_restarts=rescue_restarts,
             verify_iters=verify_iters,
             sample_mode=sample_mode,
+            nn_impl=nn_impl,
         )
     else:
         # --- batched RANSAC --------------------------------------------------
@@ -309,7 +327,7 @@ def fused_register_step(
 
     def icp_iter(T, _):
         pts = se3.apply(T, src_pts)
-        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask)
+        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
         g = tgt_pn[idx]
         q, n = g[:, :3], g[:, 3:]
         T, rmse = solve_step(T, pts, q, n)
