@@ -195,3 +195,35 @@ def test_serve_benchmark_smoke(tmp_path):
     assert r["quality_ok"], r
     assert r["requests"] == 8
     assert r["mean_batch_size"] >= 1.0
+
+
+def test_engine_mesh_sharded_dispatch(cfg, pairs):
+    """ServeEngine(mesh=...) shards each micro-batch over the pair axis."""
+    from tpu3dm.parallel.mesh import make_mesh
+
+    plist, trues = pairs
+    mesh = make_mesh()  # all (simulated) devices on the pair axis
+    with ServeEngine(cfg, SERVE, mesh=mesh) as eng:
+        futs = [eng.submit(s, t) for s, t in plist]
+        results = [f.result(timeout=600) for f in futs]
+    for r, T_true in zip(results, trues):
+        assert _rot_err_deg(r.transformation, T_true) < 2.0
+
+
+def test_server_malformed_lines(cfg):
+    """Garbage/malformed requests get error responses, never a hang/crash."""
+    import json as _json
+    import socket
+
+    with RegistrationServer(port=0, pipeline=cfg, serve=SERVE) as server:
+        with socket.create_connection((server.host, server.port), timeout=60) as s:
+            rfile = s.makefile("rb")
+            for payload in [b"not json\n", b"{}\n", b'{"op": "explode"}\n',
+                            b'{"op": "register", "source": 42, "target": []}\n']:
+                s.sendall(payload)
+                resp = _json.loads(rfile.readline())
+                assert resp["ok"] is False, resp
+                assert "error" in resp
+            # connection still alive afterwards
+            s.sendall(b'{"op": "ping"}\n')
+            assert _json.loads(rfile.readline())["ok"] is True
