@@ -230,3 +230,35 @@ def test_rescue_elects_true_pose_over_planted_alias():
     true_err = np.degrees(np.arccos(np.clip(
         (np.trace(np.asarray(T_r)[:3, :3] @ T_true[:3, :3].T) - 1) / 2, -1, 1)))
     assert true_err < 2.0, f"rescue failed: rot_err={true_err}"
+
+
+def test_shared_target_matches_pair_batched(mixed_pairs):
+    """register_sources_to_target (device-resident target) must reproduce
+    register_pairs_batched for the same keys, across capacity buckets."""
+    import jax
+
+    from tpu3dm.registration.batch import (
+        ResidentTarget,
+        register_sources_to_target,
+    )
+
+    cfg, pairs, _ = mixed_pairs
+    # All three SOURCES against pair 0's target (mixed source sizes ->
+    # multiple buckets; target padded to each bucket's cap).
+    target = pairs[0][1]
+    sources = [p[0] for p in pairs]
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(3), len(sources)))
+
+    shared = register_sources_to_target(
+        sources, ResidentTarget(target), cfg,
+        pair_keys=keys, ransac_iterations=1024,
+    )
+    direct = register_pairs_batched(
+        [(s, target) for s in sources], cfg,
+        pair_keys=keys, ransac_iterations=1024,
+    )
+    assert all(b > 0 for b in shared.bucket_of_pair)
+    np.testing.assert_allclose(shared.transforms, direct.transforms, atol=1e-4)
+    np.testing.assert_allclose(
+        shared.ransac_fitness, direct.ransac_fitness, atol=1e-5
+    )

@@ -227,3 +227,65 @@ def test_server_malformed_lines(cfg):
             # connection still alive afterwards
             s.sendall(b'{"op": "ping"}\n')
             assert _json.loads(rfile.readline())["ok"] is True
+
+
+@pytest.fixture(scope="module")
+def scan_stream(cfg):
+    """The steady-state serving shape: ONE target model, a stream of scans."""
+    tgt_raw, _, _ = make_benchmark_pair(N_POINTS, seed=0, sigma=0.005)
+    raws, trues = [], []
+    for seed in range(4):
+        s, t, T = make_benchmark_pair(N_POINTS, seed=seed, sigma=0.005)
+        # register each seed's SOURCE onto ITS OWN truth target is the normal
+        # fixture; here all requests share seed-0's target cloud object.
+        raws.append(s)
+        trues.append(T)
+    t0 = make_benchmark_pair(N_POINTS, seed=0, sigma=0.005)[1]
+    procs = preprocess_points_batch(raws + [t0], cfg.preprocess, full_normals=False)
+    return procs[:-1], procs[-1], trues
+
+
+def test_engine_shared_target_path(cfg, scan_stream):
+    """Requests sharing one target object route through the device-resident
+    path, produce results matching the general pair-batched path, and the
+    resident cache persists across dispatches."""
+    sources, target, trues = scan_stream
+    with ServeEngine(cfg, SERVE) as eng:
+        futs = [eng.submit(src, target) for src in sources]
+        results = [f.result(timeout=600) for f in futs]
+        st = eng.stats()
+
+    assert st["shared_target_requests"] == 4, st
+    assert st["resident_targets"] == 1
+    # seed 0's source pairs with seed 0's target: ground truth holds there.
+    assert _rot_err_deg(results[0].transformation, trues[0]) < 2.0
+
+    # Parity with the general path: same keys through register_pairs_batched.
+    from tpu3dm.serve.engine import _request_key
+
+    keys = np.stack([_request_key(i) for i in range(4)])
+    direct = register_pairs_batched(
+        [(src, target) for src in sources], cfg, pair_keys=keys,
+        bucket_multiple=SERVE.bucket_multiple,
+        ransac_iterations=SERVE.ransac_iterations,
+        icp_iterations=SERVE.icp_iterations,
+        icp_solves_per_nn=SERVE.icp_solves_per_nn,
+        approx_score=SERVE.approx_score,
+        sample_mode=SERVE.sample_mode,
+    )
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(
+            r.transformation, direct.transforms[i], atol=1e-4
+        )
+
+    # Second dispatch cycle against the same target: resident buffers reused
+    # (no new resident entry), shared path taken even for a lone request when
+    # target_resident_min=1.
+    import dataclasses as _dc
+
+    with ServeEngine(cfg, _dc.replace(SERVE, target_resident_min=1)) as eng:
+        eng.register(sources[0], target, timeout=600)
+        eng.register(sources[1], target, timeout=600)
+        st = eng.stats()
+    assert st["shared_target_requests"] == 2
+    assert st["resident_targets"] == 1

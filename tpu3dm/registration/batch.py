@@ -82,6 +82,166 @@ def _batched_step(
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
+        "approx_score", "rescue_restarts", "verify_iters",
+        "score_subset", "rescore_top", "sample_mode",
+    ),
+)
+def _batched_step_shared_target(
+    sp, sf, sm, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
+    *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
+    rescue_restarts=0, verify_iters=8, score_subset=0, rescore_top=128,
+    sample_mode="roll",
+):
+    """vmapped fused step with the TARGET unbatched (broadcast via closure).
+
+    The serving steady state registers a stream of scans against one cached
+    model; batching the target arrays ships [B, cap, 39] of identical data
+    through the host link every dispatch.  Here the target is a single
+    [cap, *] set of device-resident arrays (ResidentTarget) — uploaded once
+    per (target, cap), reused across dispatches — and only the sources and
+    keys are batched.
+    """
+    import jax.numpy as jnp
+
+    from tpu3dm.registration.fused import fused_register_step
+
+    def step(a, b, c, k):
+        return fused_register_step(
+            a, b, c, jnp.zeros_like(a),  # src normals unused (p2pl = target)
+            tp, tf, tm, tn, k,
+            dist_thresh=dist_thresh,
+            icp_thresh=icp_thresh,
+            ransac_iterations=ransac_iterations,
+            ransac_batch=min(ransac_iterations, 4096),
+            icp_iterations=icp_iterations,
+            icp_solves_per_nn=icp_solves_per_nn,
+            approx_score=approx_score,
+            rescue_restarts=rescue_restarts,
+            verify_iters=verify_iters,
+            score_subset=score_subset,
+            rescore_top=rescore_top,
+            sample_mode=sample_mode,
+        )
+
+    return jax.vmap(step)(sp, sf, sm, ks)
+
+
+class ResidentTarget:
+    """Compacted target cloud kept device-resident per capacity bucket.
+
+    ``at_cap(cap)`` pads the tight arrays to ``cap`` and uploads them ONCE;
+    subsequent dispatches at the same cap pass the same device buffers, so
+    the runtime ships nothing.  Host copies stay cached too (compaction is
+    one D2H that should not repeat per dispatch).
+    """
+
+    def __init__(self, cloud: ProcessedCloud) -> None:
+        tp, tf, tn = _tight(cloud)
+        self.n_valid = int(tp.shape[0])
+        self._host = (tp, tf, tn)
+        self._by_cap: dict[int, tuple] = {}
+
+    def at_cap(self, cap: int) -> tuple:
+        """(points, features, mask, normals) device arrays at capacity cap."""
+        if cap not in self._by_cap:
+            import jax.numpy as jnp
+
+            tp, tf, tn = self._host
+            m = np.zeros((cap,), bool)
+            m[: min(self.n_valid, cap)] = True
+            self._by_cap[cap] = (
+                jax.device_put(jnp.asarray(_pad_rows(tp, cap))),
+                jax.device_put(jnp.asarray(_pad_rows(tf, cap))),
+                jax.device_put(jnp.asarray(m)),
+                jax.device_put(jnp.asarray(_pad_rows(tn, cap))),
+            )
+        return self._by_cap[cap]
+
+
+def register_sources_to_target(
+    sources: list[ProcessedCloud],
+    target: ResidentTarget,
+    config: PipelineConfig | None = None,
+    *,
+    pair_keys: np.ndarray,
+    bucket_multiple: int = 256,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+    icp_solves_per_nn: int = 2,
+    approx_score: bool = True,
+    rescue_restarts: int = 0,
+    sample_mode: str = "roll",
+) -> BatchResult:
+    """Register many source clouds against ONE device-resident target.
+
+    Same per-pair semantics as ``register_pairs_batched`` (padding is
+    masked, so results match the pair-batched path for the same keys); the
+    per-dispatch host->device traffic drops to the sources + keys.  Sources
+    are capacity-bucketed exactly like the batched API.
+    """
+    if config is None:
+        config = PipelineConfig.with_voxel_size(0.3)
+    import jax.numpy as jnp
+
+    n = len(sources)
+    keys = np.asarray(pair_keys)
+    if keys.shape[0] != n:
+        raise ValueError(f"pair_keys has {keys.shape[0]} rows for {n} sources")
+    out_T = np.zeros((n, 4, 4), np.float32)
+    out_fit = np.zeros((n,), np.float32)
+    out_rmse = np.zeros((n,), np.float32)
+    bucket_of = [0] * n
+
+    tights = [_tight(s) for s in sources]
+    buckets: dict[int, list[int]] = {}
+    for i, ts in enumerate(tights):
+        cap = round_up(max(ts[0].shape[0], target.n_valid, 1), bucket_multiple)
+        buckets.setdefault(cap, []).append(i)
+
+    for cap, idxs in sorted(buckets.items()):
+        b = len(idxs)
+        b_pad = 1 << (b - 1).bit_length()
+        sp = np.stack([_pad_rows(tights[i][0], cap) for i in idxs])
+        sf = np.stack([_pad_rows(tights[i][1], cap) for i in idxs])
+        sm = np.zeros((b, cap), bool)
+        for j, i in enumerate(idxs):
+            sm[j, : min(tights[i][0].shape[0], cap)] = True
+        ks = keys[idxs]
+        if b_pad > b:
+            sp = np.concatenate([sp, np.repeat(sp[:1], b_pad - b, axis=0)])
+            sf = np.concatenate([sf, np.repeat(sf[:1], b_pad - b, axis=0)])
+            sm = np.concatenate([sm, np.repeat(sm[:1], b_pad - b, axis=0)])
+            ks = np.concatenate([ks, np.repeat(ks[:1], b_pad - b, axis=0)])
+        tp, tf, tm, tn = target.at_cap(cap)
+        T, fit, rmse = _batched_step_shared_target(
+            jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(sm),
+            tp, tf, tm, tn, jnp.asarray(ks),
+            jnp.float32(config.ransac.dist_thresh),
+            jnp.float32(config.icp.dist_thresh),
+            ransac_iterations=ransac_iterations,
+            icp_iterations=icp_iterations,
+            icp_solves_per_nn=icp_solves_per_nn,
+            approx_score=approx_score,
+            rescue_restarts=rescue_restarts,
+            sample_mode=sample_mode,
+        )
+        T = np.asarray(T)[:b]
+        fit = np.asarray(fit)[:b]
+        rmse = np.asarray(rmse)[:b]
+        for j, i in enumerate(idxs):
+            out_T[i], out_fit[i], out_rmse[i] = T[j], fit[j], rmse[j]
+            bucket_of[i] = cap
+        logger.info(
+            "shared-target bucket cap=%d: %d sources (padded to %d) registered",
+            cap, b, b_pad,
+        )
+    return BatchResult(out_T, out_fit, out_rmse, bucket_of)
+
+
 @dataclasses.dataclass
 class BatchResult:
     """Per-pair outputs of a batched registration, in input order."""

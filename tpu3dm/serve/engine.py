@@ -57,6 +57,13 @@ class ServeConfig:
     approx_score: bool = True
     rescue_restarts: int = 0
     sample_mode: str = "roll"
+    # Shared-target fast path: requests whose target is the SAME
+    # ProcessedCloud object (e.g. the server's path-cached model) and that
+    # form a group of >= target_resident_min are dispatched with the target
+    # device-resident (uploaded once per target+capacity, reused across
+    # dispatches) and only sources batched — registration/batch.py
+    # register_sources_to_target.  0 disables.
+    target_resident_min: int = 2
 
 
 @dataclasses.dataclass
@@ -120,10 +127,14 @@ class ServeEngine:
         self._n_requests = 0
         self._n_batches = 0
         self._n_errors = 0
+        self._n_shared_target = 0  # requests served via the resident path
         self._batch_size_sum = 0
         self._batch_size_max = 0
         self._bucket_counts: dict[int, int] = {}
         self._latencies_ms: deque = deque(maxlen=1024)
+        # id(target cloud) -> (cloud ref, ResidentTarget); the strong cloud
+        # reference pins the id so it cannot be recycled while cached.
+        self._residents: "dict[int, tuple]" = {}
         self._thread = threading.Thread(
             target=self._loop, name="tpu3dm-serve-dispatch", daemon=True
         )
@@ -178,6 +189,8 @@ class ServeEngine:
                 "pending": self._q.qsize(),
                 "mean_batch_size": (self._batch_size_sum / n_b) if n_b else 0.0,
                 "max_batch_size": self._batch_size_max,
+                "shared_target_requests": self._n_shared_target,
+                "resident_targets": len(self._residents),
                 "buckets": dict(sorted(self._bucket_counts.items())),
             }
         if lat.size:
@@ -249,22 +262,81 @@ class ServeEngine:
                     self._dispatch(final)
                 return
 
+    def _resident(self, cloud) -> "object":
+        """ResidentTarget for a target cloud, cached by object identity (the
+        entry pins the cloud so its id cannot be recycled).  Bounded: oldest
+        half evicted past 32 targets."""
+        from tpu3dm.registration.batch import ResidentTarget
+
+        tid = id(cloud)
+        ent = self._residents.get(tid)
+        if ent is None:
+            if len(self._residents) >= 32:
+                for k in list(self._residents)[:16]:
+                    del self._residents[k]
+            ent = (cloud, ResidentTarget(cloud))
+            self._residents[tid] = ent
+        return ent[1]
+
     def _dispatch(self, batch: list[_Pending]) -> None:
         s = self.serve
+        # Partition: requests sharing a target object form shared-target
+        # groups (device-resident target, sources-only upload); the rest go
+        # through the general pair-batched path in one call.
+        shared: list[tuple[list[int], object]] = []
+        rest = list(range(len(batch)))
+        if s.target_resident_min > 0 and self.mesh is None:
+            by_tgt: dict[int, list[int]] = {}
+            for pos, p in enumerate(batch):
+                by_tgt.setdefault(id(p.tgt), []).append(pos)
+            rest = []
+            for poss in by_tgt.values():
+                if len(poss) >= s.target_resident_min:
+                    shared.append((poss, self._resident(batch[poss[0]].tgt)))
+                else:
+                    rest.extend(poss)
+            rest.sort()
+
+        results: list = [None] * len(batch)  # (T, fit, rmse, bucket)
         try:
-            res = register_pairs_batched(
-                [(p.src, p.tgt) for p in batch],
-                self.pipeline,
-                pair_keys=np.stack([p.key for p in batch]),
-                mesh=self.mesh,
-                bucket_multiple=s.bucket_multiple,
-                ransac_iterations=s.ransac_iterations,
-                icp_iterations=s.icp_iterations,
-                icp_solves_per_nn=s.icp_solves_per_nn,
-                approx_score=s.approx_score,
-                rescue_restarts=s.rescue_restarts,
-                sample_mode=s.sample_mode,
-            )
+            from tpu3dm.registration.batch import register_sources_to_target
+
+            for poss, rt in shared:
+                res = register_sources_to_target(
+                    [batch[i].src for i in poss], rt, self.pipeline,
+                    pair_keys=np.stack([batch[i].key for i in poss]),
+                    bucket_multiple=s.bucket_multiple,
+                    ransac_iterations=s.ransac_iterations,
+                    icp_iterations=s.icp_iterations,
+                    icp_solves_per_nn=s.icp_solves_per_nn,
+                    approx_score=s.approx_score,
+                    rescue_restarts=s.rescue_restarts,
+                    sample_mode=s.sample_mode,
+                )
+                for j, i in enumerate(poss):
+                    results[i] = (
+                        res.transforms[j], res.ransac_fitness[j],
+                        res.icp_rmse[j], res.bucket_of_pair[j],
+                    )
+            if rest:
+                res = register_pairs_batched(
+                    [(batch[i].src, batch[i].tgt) for i in rest],
+                    self.pipeline,
+                    pair_keys=np.stack([batch[i].key for i in rest]),
+                    mesh=self.mesh,
+                    bucket_multiple=s.bucket_multiple,
+                    ransac_iterations=s.ransac_iterations,
+                    icp_iterations=s.icp_iterations,
+                    icp_solves_per_nn=s.icp_solves_per_nn,
+                    approx_score=s.approx_score,
+                    rescue_restarts=s.rescue_restarts,
+                    sample_mode=s.sample_mode,
+                )
+                for j, i in enumerate(rest):
+                    results[i] = (
+                        res.transforms[j], res.ransac_fitness[j],
+                        res.icp_rmse[j], res.bucket_of_pair[j],
+                    )
         except BaseException as e:  # noqa: BLE001 - forwarded to callers
             with self._lock:
                 self._n_errors += len(batch)
@@ -276,23 +348,25 @@ class ServeEngine:
         now = time.monotonic()
         lats = []
         for i, p in enumerate(batch):
+            T, fit, rmse, bucket = results[i]
             lat_ms = (now - p.t_submit) * 1e3
             lats.append(lat_ms)
             if not p.future.set_running_or_notify_cancel():
                 continue
             p.future.set_result(
                 PairResult(
-                    transformation=res.transforms[i],
-                    fitness=float(res.ransac_fitness[i]),
-                    inlier_rmse=float(res.icp_rmse[i]),
-                    bucket=res.bucket_of_pair[i],
+                    transformation=T,
+                    fitness=float(fit),
+                    inlier_rmse=float(rmse),
+                    bucket=bucket,
                     latency_ms=lat_ms,
                 )
             )
         with self._lock:
             self._n_batches += 1
+            self._n_shared_target += sum(len(poss) for poss, _ in shared)
             self._batch_size_sum += len(batch)
             self._batch_size_max = max(self._batch_size_max, len(batch))
-            for cap in res.bucket_of_pair:
+            for _, _, _, cap in results:
                 self._bucket_counts[cap] = self._bucket_counts.get(cap, 0) + 1
             self._latencies_ms.extend(lats)
