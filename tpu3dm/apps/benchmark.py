@@ -543,6 +543,8 @@ def run_serve_benchmark(
         "wall_s": round(wall, 2),
         "mean_batch_size": round(engine_stats["mean_batch_size"], 1),
         "max_batch_size": engine_stats["max_batch_size"],
+        "shared_target_requests": engine_stats.get("shared_target_requests"),
+        "resident_targets": engine_stats.get("resident_targets"),
         "latency_ms": engine_stats.get("latency_ms"),
         "rot_err_deg_max": round(max(rot_errs), 3),
         "quality_ok": max(rot_errs) < 2.0,
