@@ -505,29 +505,43 @@ def run_serve_benchmark(
             icp_iterations=icp_iterations,
         ),
     )
-    # Warm-up: compile the bucket programs outside the timed window (one
-    # full-batch group so the padded pair-axis sizes match the steady state).
-    warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
-    for f in warm:
-        f.result(timeout=1200)
+    try:
+        # Warm-up: compile the bucket programs outside the timed window (one
+        # full-batch group so the padded pair-axis sizes match steady state).
+        warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
+        for f in warm:
+            f.result(timeout=1200)
+        # Latency percentiles must describe the same steady-state window as
+        # requests_per_sec — drop the compile-window samples.
+        engine.reset_latency_window()
 
-    results: list = [None] * n_requests
-    def client(cid: int) -> None:
-        futs = []
-        for r in range(cid, n_requests, clients):
-            futs.append((r, engine.submit(*pairs[r % n_distinct])))
-        for r, f in futs:
-            results[r] = f.result(timeout=1200)
+        results: list = [None] * n_requests
+        errors: list = []
 
-    t0 = time.time()
-    threads = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.time() - t0
-    engine_stats = engine.stats()
-    engine.close()
+        def client(cid: int) -> None:
+            try:
+                futs = []
+                for r in range(cid, n_requests, clients):
+                    futs.append((r, engine.submit(*pairs[r % n_distinct])))
+                for r, f in futs:
+                    results[r] = f.result(timeout=1200)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                errors.append(e)
+
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=client, args=(c,)) for c in range(clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        if errors:
+            raise errors[0]
+        engine_stats = engine.stats()
+    finally:
+        engine.close()
 
     rot_errs = []
     for r, res in enumerate(results):

@@ -53,11 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3dm.core.cloud import round_up as _round_up
 from tpu3dm.ops.nn import BIG, SMALL_D_MAX, nn_mutual_mask, nn_search_dense
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _pad_rows(a, n, fill=0.0):
@@ -271,8 +268,10 @@ def nn_mutual_mask_lane(
     """Forward NN + mutuality mask with the lane-fused kernel.
 
     Same contract and tie semantics as ops.nn.nn_mutual_mask (on exact ties
-    every tying row passes).  ``approx`` runs the cross matmuls in bf16 with
-    fp32 accumulation, matching the dense approx path.
+    every tying row passes).  ``approx`` is ACCEPTED FOR API PARITY ONLY and
+    executes in exact fp32: the deployed Mosaic rejects bf16 matmul operands
+    in Pallas kernels (kernel docstring) — results equal the dense EXACT
+    path, not the dense bf16 path.
     """
     na, d = a.shape
     nb = b.shape[0]

@@ -173,7 +173,9 @@ def register_sources_to_target(
     icp_iterations: int = 8,
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
-    rescue_restarts: int = 0,
+    rescue_restarts: int | None = None,
+    score_subset: int | None = None,
+    rescore_top: int | None = None,
     sample_mode: str = "roll",
 ) -> BatchResult:
     """Register many source clouds against ONE device-resident target.
@@ -181,10 +183,19 @@ def register_sources_to_target(
     Same per-pair semantics as ``register_pairs_batched`` (padding is
     masked, so results match the pair-batched path for the same keys); the
     per-dispatch host->device traffic drops to the sources + keys.  Sources
-    are capacity-bucketed exactly like the batched API.
+    are capacity-bucketed exactly like the batched API.  The None-able work
+    knobs resolve from ``config`` exactly like ``register_pairs_batched``
+    does — the two paths must elect identical transforms for identical
+    keys regardless of which one a request lands on.
     """
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
+    if rescue_restarts is None:
+        rescue_restarts = config.ransac.rescue_restarts
+    if score_subset is None:
+        score_subset = config.ransac.score_subset
+    if rescore_top is None:
+        rescore_top = config.ransac.rescore_top
     import jax.numpy as jnp
 
     n = len(sources)
@@ -227,6 +238,8 @@ def register_sources_to_target(
             icp_solves_per_nn=icp_solves_per_nn,
             approx_score=approx_score,
             rescue_restarts=rescue_restarts,
+            score_subset=score_subset,
+            rescore_top=rescore_top,
             sample_mode=sample_mode,
         )
         T = np.asarray(T)[:b]

@@ -132,9 +132,11 @@ class ServeEngine:
         self._batch_size_max = 0
         self._bucket_counts: dict[int, int] = {}
         self._latencies_ms: deque = deque(maxlen=1024)
-        # id(target cloud) -> (cloud ref, ResidentTarget); the strong cloud
-        # reference pins the id so it cannot be recycled while cached.
-        self._residents: "dict[int, tuple]" = {}
+        # id(target cloud) -> (cloud ref, ResidentTarget), LRU-ordered; the
+        # strong cloud reference pins the id so it cannot be recycled.
+        from collections import OrderedDict
+
+        self._residents: "OrderedDict[int, tuple]" = OrderedDict()
         self._thread = threading.Thread(
             target=self._loop, name="tpu3dm-serve-dispatch", daemon=True
         )
@@ -150,8 +152,11 @@ class ServeEngine:
             seq = self._seq
             self._seq += 1
             self._n_requests += 1
-        item = _Pending(src, tgt, _request_key(seq), Future(), time.monotonic())
-        self._q.put(item)
+            item = _Pending(src, tgt, _request_key(seq), Future(), time.monotonic())
+            # Enqueue under the lock: outside it, a concurrent close() could
+            # drain and exit the dispatcher between our _closed check and the
+            # put, stranding this future unresolved forever.
+            self._q.put(item)
         return item.future
 
     def register(
@@ -201,6 +206,12 @@ class ServeEngine:
                 "max": float(lat.max()),
             }
         return out
+
+    def reset_latency_window(self) -> None:
+        """Drop accumulated latency samples (e.g. after a warm-up/compile
+        window) so ``stats()['latency_ms']`` describes steady state only."""
+        with self._lock:
+            self._latencies_ms.clear()
 
     def close(self, *, timeout: float | None = None) -> None:
         """Stop accepting requests, drain the queue, join the dispatcher."""
@@ -264,42 +275,47 @@ class ServeEngine:
 
     def _resident(self, cloud) -> "object":
         """ResidentTarget for a target cloud, cached by object identity (the
-        entry pins the cloud so its id cannot be recycled).  Bounded: oldest
-        half evicted past 32 targets."""
+        entry pins the cloud so its id cannot be recycled).  True LRU:
+        hits move to the end, eviction drops the least-recently-used — the
+        steady-state hot model must never be the one evicted."""
         from tpu3dm.registration.batch import ResidentTarget
 
         tid = id(cloud)
         ent = self._residents.get(tid)
         if ent is None:
-            if len(self._residents) >= 32:
-                for k in list(self._residents)[:16]:
-                    del self._residents[k]
+            while len(self._residents) >= 32:
+                self._residents.popitem(last=False)
             ent = (cloud, ResidentTarget(cloud))
-            self._residents[tid] = ent
+        self._residents[tid] = ent
+        self._residents.move_to_end(tid)
         return ent[1]
 
     def _dispatch(self, batch: list[_Pending]) -> None:
         s = self.serve
-        # Partition: requests sharing a target object form shared-target
-        # groups (device-resident target, sources-only upload); the rest go
-        # through the general pair-batched path in one call.
-        shared: list[tuple[list[int], object]] = []
-        rest = list(range(len(batch)))
-        if s.target_resident_min > 0 and self.mesh is None:
-            by_tgt: dict[int, list[int]] = {}
-            for pos, p in enumerate(batch):
-                by_tgt.setdefault(id(p.tgt), []).append(pos)
-            rest = []
-            for poss in by_tgt.values():
-                if len(poss) >= s.target_resident_min:
-                    shared.append((poss, self._resident(batch[poss[0]].tgt)))
-                else:
-                    rest.extend(poss)
-            rest.sort()
-
         results: list = [None] * len(batch)  # (T, fit, rmse, bucket)
+        # Everything — including partitioning and ResidentTarget
+        # construction (which compacts on host, a D2H that can fail on
+        # remote backends) — stays inside the try: an escape here would
+        # kill the dispatcher thread and strand every future forever.
         try:
             from tpu3dm.registration.batch import register_sources_to_target
+
+            # Partition: requests sharing a target object form shared-target
+            # groups (device-resident target, sources-only upload); the rest
+            # go through the general pair-batched path in one call.
+            shared: list[tuple[list[int], object]] = []
+            rest = list(range(len(batch)))
+            if s.target_resident_min > 0 and self.mesh is None:
+                by_tgt: dict[int, list[int]] = {}
+                for pos, p in enumerate(batch):
+                    by_tgt.setdefault(id(p.tgt), []).append(pos)
+                rest = []
+                for poss in by_tgt.values():
+                    if len(poss) >= s.target_resident_min:
+                        shared.append((poss, self._resident(batch[poss[0]].tgt)))
+                    else:
+                        rest.extend(poss)
+                rest.sort()
 
             for poss, rt in shared:
                 res = register_sources_to_target(
