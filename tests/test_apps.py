@@ -207,3 +207,42 @@ def test_cli_info(capsys):
     assert out["device_count"] >= 1
     assert out["native_tier"] == "loaded"
     assert out["default_matmul_precision"] == "highest"
+
+
+def test_overlap_benchmark_smoke(tmp_path):
+    """Overlap sweep runs end-to-end; full overlap must register reliably."""
+    from tpu3dm.apps.benchmark import run_overlap_benchmark
+
+    out = tmp_path / "overlap.json"
+    r = run_overlap_benchmark(
+        (1.0, 0.6), n_points=3000, seeds=4,
+        ransac_iterations=512, rescue_restarts=1, out_json=str(out),
+    )
+    assert out.exists()
+    full = r["rows"][0]
+    assert full["overlap"] == 1.0
+    assert full["plain"]["success_rate_2deg"] == 1.0, full
+    assert full["rescue"]["success_rate_2deg"] == 1.0, full
+
+
+def test_cli_bench_forwards_all_phase_flags():
+    """`tpu3dm bench` must forward every phase flag to the benchmark parser
+    (a dropped flag silently runs the wrong benchmark)."""
+    from tpu3dm.apps.cli import _reargs, build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(
+        ["bench", "--serve", "5", "--serve-clients", "2", "--multiway", "4",
+         "--fpfh-ab", "--overlap-sweep", "--scaling-model", "--track-memory"]
+    )
+    out = _reargs(a)
+    for flag in ("--serve", "--multiway", "--fpfh-ab", "--overlap-sweep",
+                 "--scaling-model", "--track-memory", "--serve-clients"):
+        assert flag in out, (flag, out)
+    # and the forwarded list must itself parse cleanly
+    from tpu3dm.apps.benchmark import add_args
+    import argparse
+
+    bp = argparse.ArgumentParser()
+    add_args(bp)
+    bp.parse_args(out)

@@ -262,3 +262,29 @@ def test_shared_target_matches_pair_batched(mixed_pairs):
     np.testing.assert_allclose(
         shared.ransac_fitness, direct.ransac_fitness, atol=1e-5
     )
+
+
+def test_rescue_does_not_flip_partial_overlap():
+    """Partial-overlap regression: the alias rescue must not overturn a
+    confident plain election.  At overlap 0.6 on the quasi-periodic arch, a
+    61.8-deg alias (29/48 RANSAC counts) VERIFIES with higher
+    coarse-threshold fitness than the truth (0.619 vs 0.578) — the
+    eligibility guard (fused.RESCUE_TIE_RATIO) must exclude it.  The two
+    keys below elected the alias before the guard existed."""
+    import jax
+
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.preprocess.pipeline import preprocess_points_batch
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    src, tgt, T_true = make_benchmark_pair(20_000, seed=17, overlap=0.6, sigma=0.01)
+    ps, pt = preprocess_points_batch([src, tgt], cfg.preprocess, full_normals=False)
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(600), 8))[[1, 3]]
+    res = register_pairs_batched(
+        [(ps, pt)] * 2, cfg, pair_keys=keys,
+        ransac_iterations=4096, rescue_restarts=2,
+    )
+    for i in range(2):
+        assert _rot_err_deg(res.transforms[i], T_true) < 2.0, (
+            i, _rot_err_deg(res.transforms[i], T_true)
+        )

@@ -580,6 +580,79 @@ def run_serve_benchmark(
     return report
 
 
+def run_overlap_benchmark(
+    overlaps: tuple = (1.0, 0.8, 0.6, 0.5, 0.4),
+    *,
+    n_points: int = 20_000,
+    seeds: int = 32,
+    ransac_iterations: int = 4096,
+    rescue_restarts: int = 2,
+    out_json: str = "benchmark_overlap.json",
+) -> dict:
+    """Partial-overlap robustness sweep (the reference's trim_ply scenario,
+    BASELINE config 2) with an alias-rescue A/B.
+
+    For each overlap fraction the target is cropped to that fraction of the
+    source's extent before the ground-truth transform; ``seeds`` RANSAC
+    seeds register the same pair in one batched dispatch.  Reports per
+    overlap, for the plain fused step AND with ``rescue_restarts`` enabled:
+    median/max rotation error, median fitness, and the fraction of seeds
+    recovering the pose within 2 degrees.
+    """
+    from tpu3dm.registration.batch import register_pairs_batched
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    rows = []
+    for ov in overlaps:
+        src, tgt, T_true = make_benchmark_pair(
+            n_points, seed=17, overlap=ov, sigma=0.01
+        )
+        ps, pt = preprocess_points_batch(
+            [src, tgt], cfg.preprocess, full_normals=False
+        )
+        pairs = [(ps, pt)] * seeds
+        keys = np.asarray(
+            jax.random.split(jax.random.PRNGKey(int(ov * 1000)), seeds)
+        )
+        row = {"overlap": ov}
+        for tag, rr in (("plain", 0), ("rescue", rescue_restarts)):
+            res = register_pairs_batched(
+                pairs, cfg, pair_keys=keys,
+                ransac_iterations=ransac_iterations,
+                rescue_restarts=rr,
+            )
+            M = res.transforms[:, :3, :3] @ T_true[:3, :3].T
+            tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
+            errs = np.degrees(np.arccos(tr))
+            row[tag] = {
+                "rot_err_deg_median": round(float(np.median(errs)), 3),
+                "rot_err_deg_max": round(float(errs.max()), 3),
+                "fitness_median": round(float(np.median(res.ransac_fitness)), 3),
+                "success_rate_2deg": round(float((errs < 2.0).mean()), 3),
+            }
+        rows.append(row)
+        logger.info(
+            "overlap %.2f: plain %.0f%% ok (med %.3f deg) | rescue %.0f%% ok (med %.3f deg)",
+            ov,
+            100 * row["plain"]["success_rate_2deg"],
+            row["plain"]["rot_err_deg_median"],
+            100 * row["rescue"]["success_rate_2deg"],
+            row["rescue"]["rot_err_deg_median"],
+        )
+    report = {
+        "rows": rows,
+        "config": {
+            "n_points": n_points, "seeds": seeds,
+            "ransac_iterations": ransac_iterations,
+            "rescue_restarts": rescue_restarts,
+        },
+        "backend": jax.default_backend(),
+    }
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    logger.info("overlap sweep -> %s", out_json)
+    return report
+
+
 def run_large_cloud_benchmark(
     n_points: int = 1_048_576,
     *,
@@ -982,6 +1055,11 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         "paths: RANSAC fitness + rotation error per config",
     )
     ap.add_argument(
+        "--overlap-sweep", action="store_true",
+        help="partial-overlap robustness sweep (trim_ply scenario) with an "
+        "alias-rescue A/B per overlap fraction",
+    )
+    ap.add_argument(
         "--serve", type=int, default=0, metavar="N",
         help="online-serving benchmark: N single-pair requests from "
         "concurrent clients through the micro-batching engine",
@@ -1002,6 +1080,14 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if getattr(args, "track_memory", False):
         Profiler.enable_memory_tracking(True)
+    if args.overlap_sweep:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_overlap.json"
+        run_overlap_benchmark(
+            ransac_iterations=args.ransac_iterations, out_json=out
+        )
+        return 0
     if args.serve:
         out = args.out_json
         if out == "benchmark_results.json":

@@ -635,6 +635,20 @@ def _reargs(a) -> list[str]:
         out += ["--mesh-sizes", ",".join(str(n) for n in a.mesh_sizes)]
         out += ["--scaling-pairs", str(a.scaling_pairs)]
         out += ["--scaling-points", str(a.scaling_points)]
+    if getattr(a, "multiway", 0):
+        out += ["--multiway", str(a.multiway)]
+    if getattr(a, "scaling_model", False):
+        out.append("--scaling-model")
+    if getattr(a, "fpfh_ab", False):
+        out.append("--fpfh-ab")
+    if getattr(a, "track_memory", False):
+        out.append("--track-memory")
+    if getattr(a, "overlap_sweep", False):
+        out.append("--overlap-sweep")
+    if getattr(a, "serve", 0):
+        out += ["--serve", str(a.serve)]
+        out += ["--serve-clients", str(a.serve_clients)]
+        out += ["--serve-max-batch", str(a.serve_max_batch)]
     return out
 
 

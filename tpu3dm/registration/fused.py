@@ -99,6 +99,17 @@ def _p2pl_delta_planar(pts, q, n, w):
     return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
 
 
+# Rescue eligibility: a candidate with RANSAC support below TIE_RATIO x the
+# best count was confidently rejected by the plain election; it may only win
+# the verified election with a DECISIVE margin — verified fitness at least
+# OVERRIDE_MARGIN x the best near-tie candidate's.  Calibration (measured):
+# a genuinely-wrong partial-overlap alias wins verification by ~1.07x (must
+# be blocked); a poisoned-correspondence alias that out-votes the truth
+# loses verification to it by ~1.5x (the truth must still be able to win).
+RESCUE_TIE_RATIO = 0.8
+RESCUE_OVERRIDE_MARGIN = 1.25
+
+
 def _ransac_with_rescue(
     p_all, q_all, valid,
     src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals,
@@ -179,6 +190,23 @@ def _ransac_with_rescue(
     # fitness gaps on partial-overlap pairs).
     rmse_frac = jnp.clip(vrmse / jnp.float32(dist_thresh), 0.0, 1.0)
     score = jnp.round(vfit * n_src) + (1.0 - rmse_frac) * 0.999
+    # Eligibility guard: the rescue exists to break near-TIES (aliases whose
+    # inlier count matches the true pose within RANSAC noise).  A candidate
+    # with clearly lower RANSAC support was confidently rejected by the
+    # plain election and may only win with a DECISIVE verified margin.  Why:
+    # at partial overlap on quasi-periodic geometry, an alias can wrap MORE
+    # of the full source onto the cropped target inside the coarse threshold
+    # than the true pose does (measured: 61.8-deg arch alias with 29/48
+    # counts verified at fitness 0.619 vs the truth's 0.578 at overlap 0.6,
+    # flipping 87% of seeds before this guard) — but when poisoned
+    # correspondences make an alias OUT-VOTE the truth, the truth's
+    # verification win is decisive (~1.5x), so the margin path keeps the
+    # original rescue behavior there.
+    cmax = jnp.max(ccounts).astype(jnp.float32)
+    near = ccounts.astype(jnp.float32) >= RESCUE_TIE_RATIO * cmax
+    vfit_near_best = jnp.max(jnp.where(near, vfit, 0.0))
+    decisive = vfit >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
+    score = jnp.where(near | decisive, score, -1.0)
     best = jnp.argmax(score)
     return vT[best], ccounts[best]
 

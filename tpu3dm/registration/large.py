@@ -208,33 +208,52 @@ def coarse_pose_with_verification(
     the best verified (fitness, -rmse).  The reference pipeline has no such
     rescue and fails identically on these inputs (ransac.py:20-59).
     """
+    from tpu3dm.registration.fused import (
+        RESCUE_OVERRIDE_MARGIN,
+        RESCUE_TIE_RATIO,
+    )
     from tpu3dm.registration.icp import icp_refine
     from tpu3dm.registration.ransac import global_registration_two_mode
 
-    best = None
-    best_score = None
+    # Collect all candidates first: eligibility depends on the best RANSAC
+    # fitness across them (same tie-ratio + decisive-margin rule as the
+    # fused rescue — see fused.py RESCUE_TIE_RATIO/RESCUE_OVERRIDE_MARGIN:
+    # at partial overlap an alias can verify with slightly higher
+    # coarse-threshold fitness than the truth despite clearly lower RANSAC
+    # support, and must not win on that).
+    cands = []
     for r in range(restarts):
         k = jax.random.fold_in(key, r)
-        modes = global_registration_two_mode(src_down, tgt_down, config.ransac, k)
-        for cand in modes:
-            ver = icp_refine(
-                src_down,
-                tgt_down,
-                cand.transformation,
-                dist_thresh=config.ransac.dist_thresh,
-                max_iterations=verify_iters,
-                point_to_plane=False,
-            )
-            score = (float(ver.fitness), -float(ver.inlier_rmse))
-            if best_score is None or score > best_score:
-                best_score = score
-                best = RegistrationResult(
-                    transformation=ver.transformation,
-                    fitness=cand.fitness,
-                    inlier_rmse=cand.inlier_rmse,
-                    iterations=cand.iterations,
-                )
-    return best
+        cands.extend(global_registration_two_mode(src_down, tgt_down, config.ransac, k))
+    fit_max = max(float(c.fitness) for c in cands)
+
+    def verified(cand):
+        ver = icp_refine(
+            src_down,
+            tgt_down,
+            cand.transformation,
+            dist_thresh=config.ransac.dist_thresh,
+            max_iterations=verify_iters,
+            point_to_plane=False,
+        )
+        return ver, (float(ver.fitness), -float(ver.inlier_rmse))
+
+    vers = [(cand, *verified(cand)) for cand in cands]
+    near = [v for v in vers if float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max]
+    vfit_near_best = max(v[2][0] for v in near)
+    eligible = [
+        v
+        for v in vers
+        if float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max
+        or v[2][0] >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
+    ]
+    cand, ver, _ = max(eligible, key=lambda v: v[2])
+    return RegistrationResult(
+        transformation=ver.transformation,
+        fitness=cand.fitness,
+        inlier_rmse=cand.inlier_rmse,
+        iterations=cand.iterations,
+    )
 
 
 def donor_normals(cloud: LargeCloud, down) -> jax.Array:
