@@ -43,6 +43,19 @@ from tpu3dm.utils.profiler import Profiler, profile_block
 logger = setup_logging(__name__)
 
 
+def rot_err_deg(T_est, T_true) -> float:
+    """Geodesic rotation error (degrees) between two 4x4 (or 3x3) poses."""
+    M = np.asarray(T_est)[:3, :3] @ np.asarray(T_true)[:3, :3].T
+    return float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+
+
+def rot_errs_deg(T_batch, T_true) -> np.ndarray:
+    """Per-lane geodesic rotation errors for a [B, 4, 4] transform batch."""
+    M = np.asarray(T_batch)[:, :3, :3] @ np.asarray(T_true)[:3, :3].T
+    tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    return np.degrees(np.arccos(tr))
+
+
 def _score(R, t, p, q, m, th):
     return score_hypotheses(R, t, p, q, m, th)
 
@@ -255,11 +268,7 @@ def run_fpfh_ab_benchmark(
             np.asarray(src.down.features)  # fence
             t_pre = time.time() - t0
             out = register_pair(src, tgt, cfg)
-            T = np.asarray(out.icp.transformation)
-            M = T[:3, :3] @ T_true[:3, :3].T
-            rot = float(
-                np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
-            )
+            rot = rot_err_deg(out.icp.transformation, T_true)
             rows.append(
                 {
                     "seed": seed,
@@ -435,10 +444,7 @@ def run_multiway_benchmark(
         T_true = np.eye(4)
         T_true[:3, :3] = Tj[:3, :3] @ Ti[:3, :3].T
         T_true[:3, 3] = Tj[:3, 3] - T_true[:3, :3] @ Ti[:3, 3]
-        M = np.asarray(T_est)[:3, :3] @ T_true[:3, :3].T
-        rot_errs.append(
-            float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
-        )
+        rot_errs.append(rot_err_deg(T_est, T_true))
     report = {
         "config": {"n_clouds": n_clouds, "n_points": n_points,
                    "edges": len(edges), "backend": jax.default_backend()},
@@ -545,10 +551,8 @@ def run_serve_benchmark(
 
     rot_errs = []
     for r, res in enumerate(results):
-        T_true = trues[r % n_distinct]
-        M = np.asarray(res.transformation)[:3, :3] @ T_true[:3, :3].T
         rot_errs.append(
-            float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+            rot_err_deg(res.transformation, trues[r % n_distinct])
         )
     report = {
         "requests": n_requests,
@@ -585,6 +589,7 @@ def run_overlap_benchmark(
     *,
     n_points: int = 20_000,
     seeds: int = 32,
+    voxel_size: float = 0.3,
     ransac_iterations: int = 4096,
     rescue_restarts: int = 2,
     out_json: str = "benchmark_overlap.json",
@@ -601,7 +606,7 @@ def run_overlap_benchmark(
     """
     from tpu3dm.registration.batch import register_pairs_batched
 
-    cfg = PipelineConfig.with_voxel_size(0.3)
+    cfg = PipelineConfig.with_voxel_size(voxel_size)
     rows = []
     for ov in overlaps:
         src, tgt, T_true = make_benchmark_pair(
@@ -611,8 +616,10 @@ def run_overlap_benchmark(
             [src, tgt], cfg.preprocess, full_normals=False
         )
         pairs = [(ps, pt)] * seeds
+        # round(), not int(): 0.7 * 1000 is 699.999... and the truncated
+        # seed would not match an external PRNGKey(700) reproduction.
         keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(int(ov * 1000)), seeds)
+            jax.random.split(jax.random.PRNGKey(round(ov * 1000)), seeds)
         )
         row = {"overlap": ov}
         for tag, rr in (("plain", 0), ("rescue", rescue_restarts)):
@@ -621,9 +628,7 @@ def run_overlap_benchmark(
                 ransac_iterations=ransac_iterations,
                 rescue_restarts=rr,
             )
-            M = res.transforms[:, :3, :3] @ T_true[:3, :3].T
-            tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
-            errs = np.degrees(np.arccos(tr))
+            errs = rot_errs_deg(res.transforms, T_true)
             row[tag] = {
                 "rot_err_deg_median": round(float(np.median(errs)), 3),
                 "rot_err_deg_max": round(float(errs.max()), 3),
@@ -643,6 +648,7 @@ def run_overlap_benchmark(
         "rows": rows,
         "config": {
             "n_points": n_points, "seeds": seeds,
+            "voxel_size": voxel_size,
             "ransac_iterations": ransac_iterations,
             "rescue_restarts": rescue_restarts,
         },
@@ -1085,7 +1091,9 @@ def main(argv=None) -> int:
         if out == "benchmark_results.json":
             out = "benchmark_overlap.json"
         run_overlap_benchmark(
-            ransac_iterations=args.ransac_iterations, out_json=out
+            voxel_size=args.voxel_size,
+            ransac_iterations=args.ransac_iterations,
+            out_json=out,
         )
         return 0
     if args.serve:

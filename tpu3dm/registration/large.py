@@ -221,6 +221,8 @@ def coarse_pose_with_verification(
     # at partial overlap an alias can verify with slightly higher
     # coarse-threshold fitness than the truth despite clearly lower RANSAC
     # support, and must not win on that).
+    if restarts < 1:
+        raise ValueError(f"restarts must be >= 1, got {restarts}")
     cands = []
     for r in range(restarts):
         k = jax.random.fold_in(key, r)
@@ -239,13 +241,12 @@ def coarse_pose_with_verification(
         return ver, (float(ver.fitness), -float(ver.inlier_rmse))
 
     vers = [(cand, *verified(cand)) for cand in cands]
-    near = [v for v in vers if float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max]
-    vfit_near_best = max(v[2][0] for v in near)
+    is_near = [float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max for v in vers]
+    vfit_near_best = max(v[2][0] for v, n in zip(vers, is_near) if n)
     eligible = [
         v
-        for v in vers
-        if float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max
-        or v[2][0] >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
+        for v, n in zip(vers, is_near)
+        if n or v[2][0] >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
     ]
     cand, ver, _ = max(eligible, key=lambda v: v[2])
     return RegistrationResult(
