@@ -221,6 +221,7 @@ def test_rescue_elects_true_pose_over_planted_alias():
         padv(p), mask, tgt_pc.points, tgt_pc.mask, tgt_pc.normals,
         jax.random.PRNGKey(0),
         dist_thresh=0.05,
+        icp_thresh=0.02,  # fine threshold leading the verified election
         ransac_iterations=4096,
         ransac_batch=4096,
         approx_score=False,

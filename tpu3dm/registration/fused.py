@@ -116,6 +116,7 @@ def _ransac_with_rescue(
     key,
     *,
     dist_thresh,
+    icp_thresh,
     ransac_iterations,
     ransac_batch,
     approx_score,
@@ -154,6 +155,7 @@ def _ransac_with_rescue(
     ccounts = jnp.maximum(counts.reshape(-1), 0)
 
     ver_thresh_sq = jnp.float32(dist_thresh) ** 2
+    fine_thresh_sq = jnp.float32(icp_thresh) ** 2
     n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
 
     # One [M, 6] gather per NN pass instead of two [M, 3] gathers (same
@@ -176,12 +178,20 @@ def _ransac_with_rescue(
         d2 = jnp.sum((pts - tgt_pts[idx]) ** 2, axis=1)
         m = (d2 < ver_thresh_sq) & src_mask
         fit = jnp.sum(m.astype(jnp.float32)) / n_src
+        # Fine-threshold inlier count: the primary discriminator.  At the
+        # COARSE threshold a partial-overlap alias can cover MORE source
+        # (wrapping the non-overlap portion onto the quasi-periodic target:
+        # measured 405 vs the truth's 386 at overlap 0.5), but its matches
+        # are sloppy — at the ICP threshold the ordering is correct (262 vs
+        # 270 measured; and in the full-overlap symmetric case the true pose
+        # converges while aliases stall, so fine counts separate even more).
+        nfine = jnp.sum(((d2 < fine_thresh_sq) & src_mask).astype(jnp.float32))
         rmse = jnp.sqrt(
             jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1)
         )
-        return T, fit, rmse
+        return T, fit, nfine, rmse
 
-    vT, vfit, vrmse = jax.vmap(verify)(cands)
+    vT, vfit, vfine, vrmse = jax.vmap(verify)(cands)
     # Strictly lexicographic (fitness, -rmse) election, matching the
     # host-loop scorer in registration/large.py: fitness is quantized to
     # 1/n_src, so scaling it to integer inlier counts and packing the rmse
@@ -189,24 +199,24 @@ def _ransac_with_rescue(
     # (an additive rmse term of comparable magnitude could override real
     # fitness gaps on partial-overlap pairs).
     rmse_frac = jnp.clip(vrmse / jnp.float32(dist_thresh), 0.0, 1.0)
-    score = jnp.round(vfit * n_src) + (1.0 - rmse_frac) * 0.999
+    coarse_score = jnp.round(vfit * n_src) + (1.0 - rmse_frac) * 0.999
     # Eligibility guard: the rescue exists to break near-TIES (aliases whose
     # inlier count matches the true pose within RANSAC noise).  A candidate
     # with clearly lower RANSAC support was confidently rejected by the
-    # plain election and may only win with a DECISIVE verified margin.  Why:
-    # at partial overlap on quasi-periodic geometry, an alias can wrap MORE
-    # of the full source onto the cropped target inside the coarse threshold
-    # than the true pose does (measured: 61.8-deg arch alias with 29/48
-    # counts verified at fitness 0.619 vs the truth's 0.578 at overlap 0.6,
-    # flipping 87% of seeds before this guard) — but when poisoned
-    # correspondences make an alias OUT-VOTE the truth, the truth's
-    # verification win is decisive (~1.5x), so the margin path keeps the
-    # original rescue behavior there.
+    # plain election and may only win with a DECISIVE margin in FINE
+    # verified count (poisoned-correspondence truth wins ~1.5x there;
+    # the measured partial-overlap alias never reaches parity, let alone
+    # the margin).
     cmax = jnp.max(ccounts).astype(jnp.float32)
     near = ccounts.astype(jnp.float32) >= RESCUE_TIE_RATIO * cmax
-    vfit_near_best = jnp.max(jnp.where(near, vfit, 0.0))
-    decisive = vfit >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
-    score = jnp.where(near | decisive, score, -1.0)
+    vfine_near_best = jnp.max(jnp.where(near, vfine, 0.0))
+    decisive = vfine >= RESCUE_OVERRIDE_MARGIN * vfine_near_best
+    eligible = near | decisive
+    # Lexicographic election among eligibles: FINE count first (the robust
+    # discriminator — see verify()), then the coarse (fitness, -rmse) score.
+    fine_best = jnp.max(jnp.where(eligible, vfine, -1.0))
+    on_top = eligible & (vfine >= fine_best)
+    score = jnp.where(on_top, coarse_score, -1.0)
     best = jnp.argmax(score)
     return vT[best], ccounts[best]
 
@@ -310,6 +320,7 @@ def fused_register_step(
             src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals,
             key,
             dist_thresh=dist_thresh,
+            icp_thresh=icp_thresh,
             ransac_iterations=ransac_iterations,
             ransac_batch=ransac_batch,
             approx_score=approx_score,

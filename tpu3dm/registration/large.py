@@ -229,6 +229,8 @@ def coarse_pose_with_verification(
         cands.extend(global_registration_two_mode(src_down, tgt_down, config.ransac, k))
     fit_max = max(float(c.fitness) for c in cands)
 
+    from tpu3dm.registration.evaluate import evaluate_registration
+
     def verified(cand):
         ver = icp_refine(
             src_down,
@@ -238,15 +240,23 @@ def coarse_pose_with_verification(
             max_iterations=verify_iters,
             point_to_plane=False,
         )
-        return ver, (float(ver.fitness), -float(ver.inlier_rmse))
+        # Fine-threshold fitness leads the election (same rationale as the
+        # fused rescue: coarse-threshold coverage can favor a
+        # partial-overlap alias; ICP-threshold coverage does not).
+        fine = evaluate_registration(
+            src_down, tgt_down, config.icp.dist_thresh, ver.transformation
+        )
+        return ver, (
+            float(fine.fitness), float(ver.fitness), -float(ver.inlier_rmse)
+        )
 
     vers = [(cand, *verified(cand)) for cand in cands]
     is_near = [float(v[0].fitness) >= RESCUE_TIE_RATIO * fit_max for v in vers]
-    vfit_near_best = max(v[2][0] for v, n in zip(vers, is_near) if n)
+    vfine_near_best = max(v[2][0] for v, n in zip(vers, is_near) if n)
     eligible = [
         v
         for v, n in zip(vers, is_near)
-        if n or v[2][0] >= RESCUE_OVERRIDE_MARGIN * vfit_near_best
+        if n or v[2][0] >= RESCUE_OVERRIDE_MARGIN * vfine_near_best
     ]
     cand, ver, _ = max(eligible, key=lambda v: v[2])
     return RegistrationResult(
