@@ -1078,6 +1078,11 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         "--serve-max-batch", type=int, default=256,
         help="engine micro-batch cap for --serve",
     )
+    ap.add_argument(
+        "--serve-distinct", type=int, default=8,
+        help="distinct target models for --serve (1 = the one-model "
+        "steady state, maximally exercising the resident-target path)",
+    )
 
 
 def main(argv=None) -> int:
@@ -1104,6 +1109,7 @@ def main(argv=None) -> int:
             args.serve,
             clients=args.serve_clients,
             max_batch=args.serve_max_batch,
+            n_distinct=args.serve_distinct,
             ransac_iterations=args.ransac_iterations,
             out_json=out,
         )
