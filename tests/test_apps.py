@@ -237,7 +237,8 @@ def test_cli_bench_forwards_all_phase_flags():
     )
     out = _reargs(a)
     for flag in ("--serve", "--multiway", "--fpfh-ab", "--overlap-sweep",
-                 "--scaling-model", "--track-memory", "--serve-clients"):
+                 "--scaling-model", "--track-memory", "--serve-clients",
+                 "--serve-distinct"):
         assert flag in out, (flag, out)
     # and the forwarded list must itself parse cleanly
     from tpu3dm.apps.benchmark import add_args

@@ -649,6 +649,7 @@ def _reargs(a) -> list[str]:
         out += ["--serve", str(a.serve)]
         out += ["--serve-clients", str(a.serve_clients)]
         out += ["--serve-max-batch", str(a.serve_max_batch)]
+        out += ["--serve-distinct", str(a.serve_distinct)]
     return out
 
 
