@@ -289,3 +289,28 @@ def test_engine_shared_target_path(cfg, scan_stream):
         st = eng.stats()
     assert st["shared_target_requests"] == 2
     assert st["resident_targets"] == 1
+
+
+def test_resident_target_lru_keeps_hot_model(cfg, pairs):
+    """Eviction must drop the least-recently-used resident, never the hot
+    model that every dispatch touches."""
+    from tpu3dm.registration.batch import ResidentTarget
+
+    plist, _ = pairs
+    eng = ServeEngine(cfg, SERVE)
+    try:
+        hot = plist[0][1]
+        eng._resident(hot)
+        # churn 40 cold targets through the cache, touching hot periodically
+        for i in range(40):
+            eng._resident(plist[(i % 3) + 1][1] if i % 10 == 9 else
+                          type(hot)(full=hot.full, down=hot.down,
+                                    voxel_size=hot.voxel_size))
+            if i % 5 == 0:
+                eng._resident(hot)  # keep the hot model recently used
+        eng._resident(hot)
+        assert id(hot) in eng._residents, "hot model evicted by churn"
+        assert len(eng._residents) <= 32
+        assert isinstance(eng._residents[id(hot)][1], ResidentTarget)
+    finally:
+        eng.close()
