@@ -291,6 +291,214 @@ def test_engine_shared_target_path(cfg, scan_stream):
     assert st["resident_targets"] == 1
 
 
+def test_engine_overload_shedding(cfg, pairs):
+    """max_pending bounds in-flight requests: excess submits raise
+    EngineOverloaded immediately, accepted work still completes, and the
+    engine accepts again once the backlog drains."""
+    import dataclasses as _dc
+
+    from tpu3dm.serve import EngineOverloaded
+
+    plist, _ = pairs
+    shed_cfg = _dc.replace(SERVE, max_pending=2, max_delay_ms=500.0, max_batch=2)
+    with ServeEngine(cfg, shed_cfg) as eng:
+        f1 = eng.submit(*plist[0])
+        f2 = eng.submit(*plist[1])
+        with pytest.raises(EngineOverloaded, match="max_pending"):
+            eng.submit(*plist[2])
+        r1, r2 = f1.result(timeout=600), f2.result(timeout=600)
+        # Backlog drained: the engine must accept again.
+        r3 = eng.register(*plist[2], timeout=600)
+        st = eng.stats()
+    assert st["shed"] == 1
+    assert st["requests"] == 3 and st["errors"] == 0
+    for r in (r1, r2, r3):
+        assert r.fitness > 0.0
+
+
+def test_engine_latency_decomposition(cfg, pairs):
+    """PairResult carries queue/pack/device components that account for the
+    total latency (PCIe projections are arithmetic on these fields)."""
+    plist, _ = pairs
+    with ServeEngine(cfg, SERVE) as eng:
+        r = eng.register(*plist[0], timeout=600)
+        st = eng.stats()
+    assert r.queue_ms >= 0.0
+    assert r.pack_ms > 0.0, "host pack + upload enqueue must be measured"
+    assert r.device_ms > 0.0, "device wait must be measured"
+    total = r.queue_ms + r.pack_ms + r.device_ms
+    # Components must account for the end-to-end latency up to scheduler
+    # jitter and the resolver handoff.
+    assert abs(r.latency_ms - total) < 250.0, (r.latency_ms, total)
+    assert st["pack_ms_per_batch"]["p50"] > 0
+    assert st["device_ms_per_batch"]["p50"] > 0
+
+
+def test_engine_prewarm(cfg, pairs):
+    """prewarm compiles through the real launch paths and does not perturb
+    request results (PRNG sequence is untouched)."""
+    plist, _ = pairs
+    cap = plist[0][0].down.capacity
+    with ServeEngine(cfg, SERVE) as eng:
+        baseline = eng.register(*plist[0], timeout=600)
+    with ServeEngine(cfg, SERVE) as eng:
+        dt = eng.prewarm(caps=[cap], batch_sizes=[2])
+        assert dt > 0.0
+        warmed = eng.register(*plist[0], timeout=600)
+    np.testing.assert_allclose(
+        warmed.transformation, baseline.transformation, atol=1e-6
+    )
+
+
+def test_server_flood_sheds_gracefully(cfg, pairs):
+    """Flooding past max_pending yields explicit 'overloaded' responses,
+    never hangs or dropped connections; the server keeps serving after."""
+    import dataclasses as _dc
+
+    raws = [make_benchmark_pair(N_POINTS, seed=s, sigma=0.005)[:2] for s in range(4)]
+    shed_cfg = _dc.replace(SERVE, max_pending=2, max_delay_ms=500.0, max_batch=2)
+    responses = [None] * 6
+    with RegistrationServer(port=0, pipeline=cfg, serve=shed_cfg) as server:
+
+        def worker(i):
+            with RegistrationClient(server.host, server.port, timeout=600) as c:
+                try:
+                    responses[i] = c.register(raws[i % 4][0], raws[i % 4][1])
+                except RuntimeError as e:
+                    responses[i] = {"ok": False, "error": str(e)}
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        st = server.engine.stats()
+        with RegistrationClient(server.host, server.port) as c:
+            assert c.ping(), "server must keep serving after a flood"
+
+    assert all(r is not None for r in responses), "no request may hang"
+    ok = [r for r in responses if "transformation" in r]
+    shed = [r for r in responses if "transformation" not in r]
+    assert len(ok) + len(shed) == 6
+    for r in shed:
+        assert "overloaded" in str(r.get("error", "")).lower(), r
+    assert st["shed"] == len(shed)
+    # The flood (6 near-simultaneous requests vs max_pending=2) must have
+    # actually shed something for this test to mean anything.
+    assert len(shed) >= 1, "flood never exceeded max_pending - tighten the test"
+
+
+def test_server_request_limits(cfg):
+    """Oversized lines and oversized clouds are rejected with clear errors."""
+    import json as _json
+    import socket
+
+    with RegistrationServer(
+        port=0, pipeline=cfg, serve=SERVE, max_line_bytes=65536, max_points=100
+    ) as server:
+        # Oversized request line: one 'too_large' response, then disconnect.
+        with socket.create_connection((server.host, server.port), timeout=60) as s:
+            rfile = s.makefile("rb")
+            s.sendall(b'{"op": "register", "source": {"points": [' +
+                      b"[1.0,2.0,3.0]," * 10000 + b']}}\n')
+            resp = _json.loads(rfile.readline())
+            assert resp["ok"] is False and resp["code"] == "too_large"
+            assert rfile.readline() == b"", "connection must close after too_large"
+        # Oversized cloud (within the line limit): ValueError, connection lives.
+        with socket.create_connection((server.host, server.port), timeout=60) as s:
+            rfile = s.makefile("rb")
+            pts = [[0.1 * i, 0.2, 0.3] for i in range(101)]
+            req = {"op": "register", "source": {"points": pts}, "target": {"points": pts}}
+            s.sendall(_json.dumps(req).encode() + b"\n")
+            resp = _json.loads(rfile.readline())
+            assert resp["ok"] is False and "max 100" in resp["error"]
+            s.sendall(b'{"op": "ping"}\n')
+            assert _json.loads(rfile.readline())["ok"] is True
+
+
+def test_server_path_root(cfg, tmp_path):
+    """path_root confines {'path': ...} specs to the served directory."""
+    from tpu3dm.io.ply import write_ply
+
+    served = tmp_path / "served"
+    served.mkdir()
+    s, t, _ = make_benchmark_pair(N_POINTS, seed=0, sigma=0.005)
+    inside = served / "target.ply"
+    outside = tmp_path / "secret.ply"
+    write_ply(inside, t.astype(np.float32))
+    write_ply(outside, t.astype(np.float32))
+
+    with RegistrationServer(
+        port=0, pipeline=cfg, serve=SERVE, path_root=served
+    ) as server:
+        with RegistrationClient(server.host, server.port, timeout=600) as c:
+            with pytest.raises(RuntimeError, match="outside the served root"):
+                c.register(s, str(outside))
+            # Escape attempts through .. are resolved before the check.
+            with pytest.raises(RuntimeError, match="outside the served root"):
+                c.register(s, str(served / ".." / "secret.ply"))
+            r = c.register(s, str(inside))
+            assert r["fitness"] > 0.0
+
+
+def test_cloud_cache_invalidates_on_file_change(cfg, tmp_path):
+    """Overwriting a served PLY must invalidate its cache entry — stale
+    preprocessed clouds must not serve registrations after the file changed."""
+    import os
+
+    from tpu3dm.io.ply import write_ply
+
+    s, t, _ = make_benchmark_pair(N_POINTS, seed=0, sigma=0.005)
+    path = tmp_path / "model.ply"
+    write_ply(path, t.astype(np.float32))
+
+    with RegistrationServer(port=0, pipeline=cfg, serve=SERVE) as server:
+        with RegistrationClient(server.host, server.port, timeout=600) as c:
+            c.register(s, str(path))  # miss
+            c.register(s, str(path))  # hit
+            # Overwrite with different content; force a distinct mtime even
+            # on coarse-granularity filesystems.
+            t2 = make_benchmark_pair(N_POINTS, seed=1, sigma=0.005)[1]
+            write_ply(path, t2.astype(np.float32))
+            st0 = path.stat()
+            os.utime(path, ns=(st0.st_atime_ns, st0.st_mtime_ns + 1_000_000))
+            c.register(s, str(path))  # must MISS: file changed
+        assert server.cache.hits == 1
+        assert server.cache.misses == 2
+
+
+def test_server_close_before_serving(cfg):
+    """Construct-then-close without ever serving must not hang."""
+    server = RegistrationServer(port=0, pipeline=cfg, serve=SERVE)
+    done = threading.Event()
+
+    def closer():
+        server.close()
+        done.set()
+
+    th = threading.Thread(target=closer, daemon=True)
+    th.start()
+    assert done.wait(timeout=60), "close() hung without serve_forever()"
+
+
+def test_resident_target_caps_bounded(cfg, pairs):
+    """A long-lived target accumulates at most max_caps capacity variants."""
+    from tpu3dm.registration.batch import ResidentTarget
+
+    plist, _ = pairs
+    rt = ResidentTarget(plist[0][1], max_caps=2)
+    rt.at_cap(64)
+    rt.at_cap(128)
+    buf64 = rt.at_cap(64)  # touch 64 so 128 is the LRU victim
+    rt.at_cap(192)
+    assert len(rt._by_cap) == 2
+    assert set(rt._by_cap) == {64, 192}, "LRU must evict 128, not 64"
+    assert rt.at_cap(64) is buf64, "retained capacity must reuse device buffers"
+    # Re-requesting an evicted capacity re-uploads from the host copy.
+    again = rt.at_cap(128)
+    assert again[0].shape == (128, 3)
+
+
 def test_resident_target_lru_keeps_hot_model(cfg, pairs):
     """Eviction must drop the least-recently-used resident, never the hot
     model that every dispatch touches."""

@@ -456,10 +456,23 @@ def _cmd_serve(args) -> int:
             ransac_iterations=args.ransac_iterations,
             icp_iterations=args.icp_iterations,
             rescue_restarts=args.rescue_restarts,
+            max_pending=args.max_pending,
         ),
         cache_size=args.cache_size,
+        path_root=args.path_root,
     )
-    print(json.dumps({"listening": f"{server.host}:{server.port}"}))
+    prewarm_s = None
+    if args.prewarm:
+        # Compile the steady-state shapes BEFORE announcing the port: the
+        # first client request then runs warm instead of stalling ~36 s.
+        prewarm_s = server.prewarm(
+            caps=args.prewarm_caps or None,
+            batch_sizes=[args.max_batch] if args.max_batch else None,
+        )
+    print(json.dumps({
+        "listening": f"{server.host}:{server.port}",
+        **({"prewarm_s": round(prewarm_s, 1)} if prewarm_s is not None else {}),
+    }))
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -592,6 +605,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0 enables the batched alias rescue per request")
     p.add_argument("--cache-size", type=int, default=64,
                    help="LRU capacity of the preprocessed-cloud path cache")
+    p.add_argument("--max-pending", type=int, default=1024,
+                   help="in-flight request bound; excess submits are shed "
+                        "with an 'overloaded' response (0 = unbounded)")
+    p.add_argument("--path-root", default=None,
+                   help="restrict {'path': ...} cloud specs to files under "
+                        "this directory (recommended for non-loopback binds)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile steady-state bucket shapes before "
+                        "accepting connections (kills the first-request "
+                        "compile stall)")
+    p.add_argument("--prewarm-caps", type=int, nargs="*", default=None,
+                   help="capacity buckets to prewarm (e.g. 768 896); "
+                        "default: the bucket quantum")
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("multiway", help="N-cloud alignment + pose graph")
@@ -650,6 +676,14 @@ def _reargs(a) -> list[str]:
         out += ["--serve-clients", str(a.serve_clients)]
         out += ["--serve-max-batch", str(a.serve_max_batch)]
         out += ["--serve-distinct", str(a.serve_distinct)]
+        if getattr(a, "serve_ab", False):
+            out.append("--serve-ab")
+    if getattr(a, "stream", 0):
+        out += ["--stream", str(a.stream)]
+        out += ["--stream-window", str(a.stream_window)]
+        out += ["--stream-points", str(a.stream_points)]
+        if getattr(a, "stream_ab", False):
+            out.append("--stream-ab")
     return out
 
 

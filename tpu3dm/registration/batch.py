@@ -137,19 +137,29 @@ class ResidentTarget:
     subsequent dispatches at the same cap pass the same device buffers, so
     the runtime ships nothing.  Host copies stay cached too (compaction is
     one D2H that should not repeat per dispatch).
+
+    ``max_caps`` bounds device memory for long-lived targets: a target that
+    sees many distinct source-size buckets keeps only the ``max_caps`` most
+    recently used capacity variants resident (LRU); an evicted capacity is
+    re-uploaded from the cached host copy on next use.
     """
 
-    def __init__(self, cloud: ProcessedCloud) -> None:
+    def __init__(self, cloud: ProcessedCloud, *, max_caps: int = 8) -> None:
+        from collections import OrderedDict
+
         tp, tf, tn = _tight(cloud)
         self.n_valid = int(tp.shape[0])
+        self.max_caps = max_caps
         self._host = (tp, tf, tn)
-        self._by_cap: dict[int, tuple] = {}
+        self._by_cap: OrderedDict[int, tuple] = OrderedDict()
 
     def at_cap(self, cap: int) -> tuple:
         """(points, features, mask, normals) device arrays at capacity cap."""
         if cap not in self._by_cap:
             import jax.numpy as jnp
 
+            while len(self._by_cap) >= max(1, self.max_caps):
+                self._by_cap.popitem(last=False)
             tp, tf, tn = self._host
             m = np.zeros((cap,), bool)
             m[: min(self.n_valid, cap)] = True
@@ -159,10 +169,66 @@ class ResidentTarget:
                 jax.device_put(jnp.asarray(m)),
                 jax.device_put(jnp.asarray(_pad_rows(tn, cap))),
             )
+        self._by_cap.move_to_end(cap)
         return self._by_cap[cap]
 
 
-def register_sources_to_target(
+class PendingBatch:
+    """Launched-but-unresolved batched registration.
+
+    ``launch_*`` packs the host arrays, uploads them, and enqueues the
+    compiled dispatch(es) — JAX dispatch is asynchronous, so the call
+    returns while the device computes.  ``resolve()`` blocks on the D2H of
+    the outputs and folds them back into input order.  The split lets a
+    caller (serve/engine.py dispatcher, io streaming loops) overlap the
+    host pack + upload of batch i+1 with the device compute of batch i.
+    """
+
+    def __init__(self, n: int, launched: list, done: dict,
+                 checkpoint=None, pair_names=None, iterations: int = 0) -> None:
+        self._n = n
+        # launched: (cap, idxs, b, (T_dev, fit_dev, rmse_dev)) per bucket
+        self._launched = launched
+        self._done = done
+        self._checkpoint = checkpoint
+        self._pair_names = pair_names
+        self._iterations = iterations
+
+    def resolve(self) -> BatchResult:
+        n = self._n
+        out_T = np.zeros((n, 4, 4), np.float32)
+        out_fit = np.zeros((n,), np.float32)
+        out_rmse = np.zeros((n,), np.float32)
+        bucket_of = [0] * n
+        for cap, idxs, b, (T_d, fit_d, rmse_d) in self._launched:
+            T = np.asarray(T_d)[:b]
+            fit = np.asarray(fit_d)[:b]
+            rmse = np.asarray(rmse_d)[:b]
+            for j, i in enumerate(idxs):
+                out_T[i], out_fit[i], out_rmse[i] = T[j], fit[j], rmse[j]
+                bucket_of[i] = cap
+                if self._checkpoint is not None:
+                    from tpu3dm.multiway.checkpoint import EdgeRecord
+
+                    self._checkpoint.put_pair(
+                        self._pair_names[i],
+                        EdgeRecord(
+                            transformation=T[j],
+                            fitness=float(fit[j]),
+                            inlier_rmse=float(rmse[j]),
+                            iterations=self._iterations,
+                        ),
+                    )
+            logger.info("bucket cap=%d: %d pairs registered", cap, b)
+        for i, rec in self._done.items():
+            out_T[i] = np.asarray(rec.transformation, np.float32)
+            out_fit[i] = rec.fitness
+            out_rmse[i] = rec.inlier_rmse
+            bucket_of[i] = -1  # restored from checkpoint, not dispatched
+        return BatchResult(out_T, out_fit, out_rmse, bucket_of)
+
+
+def launch_sources_to_target(
     sources: list[ProcessedCloud],
     target: ResidentTarget,
     config: PipelineConfig | None = None,
@@ -177,17 +243,8 @@ def register_sources_to_target(
     score_subset: int | None = None,
     rescore_top: int | None = None,
     sample_mode: str = "roll",
-) -> BatchResult:
-    """Register many source clouds against ONE device-resident target.
-
-    Same per-pair semantics as ``register_pairs_batched`` (padding is
-    masked, so results match the pair-batched path for the same keys); the
-    per-dispatch host->device traffic drops to the sources + keys.  Sources
-    are capacity-bucketed exactly like the batched API.  The None-able work
-    knobs resolve from ``config`` exactly like ``register_pairs_batched``
-    does — the two paths must elect identical transforms for identical
-    keys regardless of which one a request lands on.
-    """
+) -> PendingBatch:
+    """Async variant of ``register_sources_to_target`` — see PendingBatch."""
     if config is None:
         config = PipelineConfig.with_voxel_size(0.3)
     if rescue_restarts is None:
@@ -202,10 +259,6 @@ def register_sources_to_target(
     keys = np.asarray(pair_keys)
     if keys.shape[0] != n:
         raise ValueError(f"pair_keys has {keys.shape[0]} rows for {n} sources")
-    out_T = np.zeros((n, 4, 4), np.float32)
-    out_fit = np.zeros((n,), np.float32)
-    out_rmse = np.zeros((n,), np.float32)
-    bucket_of = [0] * n
 
     tights = [_tight(s) for s in sources]
     buckets: dict[int, list[int]] = {}
@@ -213,6 +266,7 @@ def register_sources_to_target(
         cap = round_up(max(ts[0].shape[0], target.n_valid, 1), bucket_multiple)
         buckets.setdefault(cap, []).append(i)
 
+    launched = []
     for cap, idxs in sorted(buckets.items()):
         b = len(idxs)
         b_pad = 1 << (b - 1).bit_length()
@@ -228,7 +282,7 @@ def register_sources_to_target(
             sm = np.concatenate([sm, np.repeat(sm[:1], b_pad - b, axis=0)])
             ks = np.concatenate([ks, np.repeat(ks[:1], b_pad - b, axis=0)])
         tp, tf, tm, tn = target.at_cap(cap)
-        T, fit, rmse = _batched_step_shared_target(
+        out = _batched_step_shared_target(
             jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(sm),
             tp, tf, tm, tn, jnp.asarray(ks),
             jnp.float32(config.ransac.dist_thresh),
@@ -242,17 +296,31 @@ def register_sources_to_target(
             rescore_top=rescore_top,
             sample_mode=sample_mode,
         )
-        T = np.asarray(T)[:b]
-        fit = np.asarray(fit)[:b]
-        rmse = np.asarray(rmse)[:b]
-        for j, i in enumerate(idxs):
-            out_T[i], out_fit[i], out_rmse[i] = T[j], fit[j], rmse[j]
-            bucket_of[i] = cap
+        launched.append((cap, idxs, b, out))
         logger.info(
-            "shared-target bucket cap=%d: %d sources (padded to %d) registered",
+            "shared-target bucket cap=%d: %d sources (padded to %d) launched",
             cap, b, b_pad,
         )
-    return BatchResult(out_T, out_fit, out_rmse, bucket_of)
+    return PendingBatch(n, launched, {})
+
+
+def register_sources_to_target(
+    sources: list[ProcessedCloud],
+    target: ResidentTarget,
+    config: PipelineConfig | None = None,
+    **kwargs,
+) -> BatchResult:
+    """Register many source clouds against ONE device-resident target.
+
+    Same per-pair semantics as ``register_pairs_batched`` (padding is
+    masked, so results match the pair-batched path for the same keys); the
+    per-dispatch host->device traffic drops to the sources + keys.  Sources
+    are capacity-bucketed exactly like the batched API.  The None-able work
+    knobs resolve from ``config`` exactly like ``register_pairs_batched``
+    does — the two paths must elect identical transforms for identical
+    keys regardless of which one a request lands on.
+    """
+    return launch_sources_to_target(sources, target, config, **kwargs).resolve()
 
 
 @dataclasses.dataclass
@@ -283,7 +351,7 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
 
 
-def register_pairs_batched(
+def launch_pairs_batched(
     pairs: list[tuple[ProcessedCloud, ProcessedCloud]],
     config: PipelineConfig | None = None,
     *,
@@ -301,8 +369,11 @@ def register_pairs_batched(
     checkpoint=None,
     pair_names: list[str] | None = None,
     pair_keys: np.ndarray | None = None,
-) -> BatchResult:
-    """Register many preprocessed pairs with capacity-bucketed dispatches.
+) -> PendingBatch:
+    """Async variant of ``register_pairs_batched`` — packs, uploads, and
+    enqueues the bucket dispatches, returning a ``PendingBatch`` whose
+    ``resolve()`` blocks on the outputs.  See ``register_pairs_batched``
+    for argument semantics.
 
     Args:
       pairs: (source, target) ``ProcessedCloud`` tuples.
@@ -348,12 +419,7 @@ def register_pairs_batched(
         key = jax.random.PRNGKey(0)
     n_pairs = len(pairs)
     if n_pairs == 0:
-        return BatchResult(
-            np.zeros((0, 4, 4), np.float32),
-            np.zeros((0,), np.float32),
-            np.zeros((0,), np.float32),
-            [],
-        )
+        return PendingBatch(0, [], {})
 
     # --- resume: pull completed pairs from the checkpoint store --------------
     done: dict[int, object] = {}
@@ -380,11 +446,6 @@ def register_pairs_batched(
         buckets.setdefault(cap, []).append(i)
 
     pair_quantum = int(mesh.shape["pair"]) if mesh is not None else 1
-
-    out_T = np.zeros((n_pairs, 4, 4), np.float32)
-    out_fit = np.zeros((n_pairs,), np.float32)
-    out_rmse = np.zeros((n_pairs,), np.float32)
-    bucket_of = [0] * n_pairs
 
     # Host copy once: fancy-indexing a jax array per bucket would trigger
     # eager device ops (a remote compile per op on the axon backend).
@@ -432,6 +493,7 @@ def register_pairs_batched(
                 sample_mode=sample_mode,
             )
 
+    launched = []
     for cap, idxs in sorted(buckets.items()):
         # Pad the pair axis to a power of two (>= mesh quantum) so repeated
         # workloads hit a handful of compiled programs, not one per size.
@@ -474,36 +536,52 @@ def register_pairs_batched(
         ks = np.asarray(keys[idxs])
         ks = np.concatenate([ks, np.repeat(ks[:1], b_pad - b, axis=0)])
 
-        T, fit, rmse = dispatch(arrays, jnp.asarray(ks))
-        T = np.asarray(T)[:b]
-        fit = np.asarray(fit)[:b]
-        rmse = np.asarray(rmse)[:b]
-        for j, i in enumerate(idxs):
-            out_T[i] = T[j]
-            out_fit[i] = fit[j]
-            out_rmse[i] = rmse[j]
-            bucket_of[i] = cap
-            if checkpoint is not None:
-                from tpu3dm.multiway.checkpoint import EdgeRecord
-
-                checkpoint.put_pair(
-                    pair_names[i],
-                    EdgeRecord(
-                        transformation=T[j],
-                        fitness=float(fit[j]),
-                        inlier_rmse=float(rmse[j]),
-                        iterations=ransac_iterations,
-                    ),
-                )
+        out = dispatch(arrays, jnp.asarray(ks))
+        launched.append((cap, idxs, b, out))
         logger.info(
-            "bucket cap=%d: %d pairs (padded to %d) registered", cap, b, b_pad
+            "bucket cap=%d: %d pairs (padded to %d) launched", cap, b, b_pad
         )
 
-    # Fold checkpoint-restored results back into positional order.
-    for i, rec in done.items():
-        out_T[i] = np.asarray(rec.transformation, np.float32)
-        out_fit[i] = rec.fitness
-        out_rmse[i] = rec.inlier_rmse
-        bucket_of[i] = -1  # restored, not dispatched this run
+    return PendingBatch(
+        n_pairs, launched, done,
+        checkpoint=checkpoint, pair_names=pair_names,
+        iterations=ransac_iterations,
+    )
 
-    return BatchResult(out_T, out_fit, out_rmse, bucket_of)
+
+def register_pairs_batched(
+    pairs: list[tuple[ProcessedCloud, ProcessedCloud]],
+    config: PipelineConfig | None = None,
+    **kwargs,
+) -> BatchResult:
+    """Register many preprocessed pairs with capacity-bucketed dispatches.
+
+    Args:
+      pairs: (source, target) ``ProcessedCloud`` tuples.
+      config: pipeline config (thresholds); defaults to voxel 0.3 constants.
+      key: PRNG key; per-pair keys are folded from it.
+      mesh: optional ``jax.sharding.Mesh`` with a ``pair`` axis — each bucket
+        dispatch is then sharded over it (parallel/register.py).  Bucket
+        batches are padded to a multiple of the mesh's pair-axis size.
+      bucket_multiple: capacity quantum for grouping.
+      ransac_iterations / icp_iterations: per-pair work knobs.
+      rescue_restarts: >0 enables the batched alias rescue inside the fused
+        step (two-mode RANSAC x restarts + on-device ICP verification —
+        registration/fused.py); None takes config.ransac.rescue_restarts.
+      score_subset / rescore_top: two-stage RANSAC scoring knobs (see
+        RansacConfig); None takes the config values.
+      checkpoint: optional ``multiway.checkpoint.CheckpointStore`` — each
+        pair's result is persisted (atomic npz) as its bucket completes, and
+        already-stored pairs are skipped on re-run.  Requires ``pair_names``.
+      pair_names: stable identity string per pair (e.g. 'src.ply\\ttgt.ply')
+        used as the checkpoint key; results stay correct across manifest
+        reordering/edits because the key is content-derived, not positional.
+      pair_keys: explicit per-pair PRNG keys, shape [P, 2] — overrides the
+        positional split of ``key``.  Lets a windowed/streaming caller
+        (io/loader.py) hand each pair the same key it would get in a single
+        whole-manifest call, so window size never changes results.
+
+    Returns:
+      BatchResult with arrays indexed like ``pairs``.
+    """
+    return launch_pairs_batched(pairs, config, **kwargs).resolve()

@@ -6,15 +6,26 @@ arrives as independent single-pair requests.  This engine bridges the two
 the standard accelerator-serving way (micro-batching):
 
   - callers ``submit()`` preprocessed pairs from any thread and get a
-    ``Future`` back;
+    ``Future`` back; when more than ``max_pending`` requests are in flight
+    the engine sheds load by raising ``EngineOverloaded`` instead of
+    queueing unboundedly (the server maps this to an "overloaded" wire
+    response);
   - one dispatcher thread collects requests for at most ``max_delay_ms``
-    after the first arrival (or until ``max_batch``), then registers the
-    whole group through ``register_pairs_batched`` — capacity-bucketed, pair
-    axis padded to a power of two, so steady-state traffic reuses a handful
-    of compiled programs;
+    after the first arrival (or until ``max_batch``), packs + uploads the
+    group and *launches* the compiled dispatch (registration/batch.py
+    ``launch_pairs_batched`` — capacity-bucketed, pair axis padded to a
+    power of two, so steady-state traffic reuses a handful of compiled
+    programs) without waiting for the device;
+  - a second resolver thread blocks on each launched batch's outputs and
+    resolves the futures — so the host pack + H2D upload of micro-batch
+    i+1 overlaps the device compute of micro-batch i (the double-buffer
+    pattern io/loader.py uses for manifest ingest, applied to serving,
+    where the measured bottleneck IS the upload);
   - per-request PRNG keys are derived from a monotone sequence number, so a
     request's result does NOT depend on which micro-batch it landed in
-    (verified in tests/test_serve.py against a direct batched call).
+    (verified in tests/test_serve.py against a direct batched call);
+  - ``prewarm()`` compiles the steady-state bucket shapes up front, so the
+    first real request does not pay the ~36 s first-compile stall.
 
 Role mapping: the reference registers exactly one pair per process run
 (src/main.py:26-38) and has no serving story; this is the TPU-native
@@ -36,12 +47,17 @@ import numpy as np
 
 from tpu3dm.core.config import PipelineConfig
 from tpu3dm.preprocess.pipeline import ProcessedCloud
-from tpu3dm.registration.batch import register_pairs_batched
 from tpu3dm.utils.logging import setup_logging
 
 logger = setup_logging(__name__)
 
 _STOP = object()
+
+
+class EngineOverloaded(RuntimeError):
+    """Raised by ``submit`` when the in-flight request count exceeds
+    ``ServeConfig.max_pending`` — explicit load shedding instead of an
+    unbounded queue (callers/front-ends should back off and retry)."""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,17 +80,45 @@ class ServeConfig:
     # dispatches) and only sources batched — registration/batch.py
     # register_sources_to_target.  0 disables.
     target_resident_min: int = 2
+    # Device-memory bounds for the resident-target tier: at most
+    # resident_targets_max distinct targets stay uploaded (LRU), and each
+    # keeps at most resident_caps_max capacity variants (ResidentTarget LRU).
+    resident_targets_max: int = 32
+    resident_caps_max: int = 8
+    # Overload contract: submit() raises EngineOverloaded once this many
+    # requests are in flight (submitted, not yet resolved).  0 = unbounded.
+    max_pending: int = 1024
+    # Fence H2D uploads after launch with a marker round trip so pack_ms
+    # captures the true wire upload and device_ms is compute+D2H only.
+    # Costs one tiny transfer per micro-batch; off by default (the split
+    # is for benchmark artifacts — see apps/benchmark.py --serve).
+    fence_uploads: bool = False
+    # 1 (default): the dispatcher hands launched batches to a resolver
+    # thread, overlapping batch i+1's host pack + upload with batch i's
+    # device compute.  0: resolve inline (no overlap) — the A/B baseline.
+    pipeline_depth: int = 1
 
 
 @dataclasses.dataclass
 class PairResult:
-    """Resolved value of one registration request."""
+    """Resolved value of one registration request.
+
+    The latency decomposition makes host-link projections arithmetic:
+    ``latency_ms = queue_ms + pack_ms + device_ms`` (up to scheduler
+    jitter).  On the axon tunnel device_ms includes the actual wire upload
+    unless ``ServeConfig.fence_uploads`` moved it into pack_ms; on a PCIe
+    TPU host pack_ms+upload collapses to milliseconds and device_ms is the
+    projected serving latency floor.
+    """
 
     transformation: np.ndarray  # [4, 4] target <- source
     fitness: float  # RANSAC inlier fitness
     inlier_rmse: float  # final ICP rmse
     bucket: int  # capacity bucket the pair ran at
     latency_ms: float  # submit -> resolve wall time
+    queue_ms: float = 0.0  # submit -> micro-batch dispatch start
+    pack_ms: float = 0.0  # host pack + upload enqueue (batch-level)
+    device_ms: float = 0.0  # launch -> outputs on host (batch-level)
 
 
 @dataclasses.dataclass
@@ -99,6 +143,23 @@ def _request_key(seq: int) -> np.ndarray:
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
     z = z ^ (z >> 31)
     return np.array([z >> 32, z & 0xFFFFFFFF], np.uint32)
+
+
+def _synthetic_processed(n_valid: int) -> ProcessedCloud:
+    """Synthetic ProcessedCloud with exactly ``n_valid`` valid down points —
+    prewarm fodder whose bucket resolves to round_up(n_valid, multiple).
+    Host NumPy leaves: the launch path compacts on host anyway."""
+    from tpu3dm.core.cloud import PointCloud
+
+    rng = np.random.default_rng(n_valid)
+    pts = rng.normal(size=(n_valid, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n_valid, 3)).astype(np.float32)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+    feat = rng.random(size=(n_valid, 33)).astype(np.float32)
+    down = PointCloud(
+        points=pts, mask=np.ones(n_valid, bool), normals=nrm, features=feat
+    )
+    return ProcessedCloud(full=down, down=down, voxel_size=0.3)
 
 
 class ServeEngine:
@@ -127,31 +188,57 @@ class ServeEngine:
         self._n_requests = 0
         self._n_batches = 0
         self._n_errors = 0
+        self._n_shed = 0  # submits rejected by the max_pending bound
+        self._n_inflight = 0  # submitted, not yet resolved/failed
         self._n_shared_target = 0  # requests served via the resident path
         self._batch_size_sum = 0
         self._batch_size_max = 0
         self._bucket_counts: dict[int, int] = {}
         self._latencies_ms: deque = deque(maxlen=1024)
+        self._queue_ms: deque = deque(maxlen=1024)
+        self._pack_ms: deque = deque(maxlen=1024)  # per batch
+        self._device_ms: deque = deque(maxlen=1024)  # per batch
         # id(target cloud) -> (cloud ref, ResidentTarget), LRU-ordered; the
         # strong cloud reference pins the id so it cannot be recycled.
         from collections import OrderedDict
 
         self._residents: "OrderedDict[int, tuple]" = OrderedDict()
+        # Depth-1 handoff between the dispatcher (pack + upload + launch)
+        # and the resolver (device wait + future resolution): while the
+        # resolver blocks on micro-batch i's outputs, the dispatcher is
+        # already packing and uploading micro-batch i+1.
+        self._launched_q: queue.Queue = queue.Queue(maxsize=1)
         self._thread = threading.Thread(
             target=self._loop, name="tpu3dm-serve-dispatch", daemon=True
         )
+        self._resolver = threading.Thread(
+            target=self._resolve_loop, name="tpu3dm-serve-resolve", daemon=True
+        )
         self._thread.start()
+        self._resolver.start()
 
     # -- public API ---------------------------------------------------------
 
     def submit(self, src: ProcessedCloud, tgt: ProcessedCloud) -> Future:
-        """Enqueue one pair; returns a ``Future[PairResult]``."""
+        """Enqueue one pair; returns a ``Future[PairResult]``.
+
+        Raises ``EngineOverloaded`` when ``max_pending`` requests are
+        already in flight — the engine sheds load explicitly rather than
+        letting the queue (and every caller's latency) grow without bound.
+        """
         with self._lock:
             if self._closed:
                 raise RuntimeError("ServeEngine is closed")
+            limit = self.serve.max_pending
+            if limit > 0 and self._n_inflight >= limit:
+                self._n_shed += 1
+                raise EngineOverloaded(
+                    f"{self._n_inflight} requests in flight (max_pending={limit})"
+                )
             seq = self._seq
             self._seq += 1
             self._n_requests += 1
+            self._n_inflight += 1
             item = _Pending(src, tgt, _request_key(seq), Future(), time.monotonic())
             # Enqueue under the lock: outside it, a concurrent close() could
             # drain and exit the dispatcher between our _closed check and the
@@ -184,13 +271,26 @@ class ServeEngine:
 
     def stats(self) -> dict:
         """Counters + latency percentiles for observability endpoints."""
+
+        def pct(d: deque) -> dict | None:
+            a = np.asarray(d, np.float64)
+            if not a.size:
+                return None
+            return {
+                "mean": float(a.mean()),
+                "p50": float(np.percentile(a, 50)),
+                "p95": float(np.percentile(a, 95)),
+                "max": float(a.max()),
+            }
+
         with self._lock:
-            lat = np.asarray(self._latencies_ms, np.float64)
             n_b = self._n_batches
             out = {
                 "requests": self._n_requests,
                 "batches": n_b,
                 "errors": self._n_errors,
+                "shed": self._n_shed,
+                "inflight": self._n_inflight,
                 "pending": self._q.qsize(),
                 "mean_batch_size": (self._batch_size_sum / n_b) if n_b else 0.0,
                 "max_batch_size": self._batch_size_max,
@@ -198,13 +298,13 @@ class ServeEngine:
                 "resident_targets": len(self._residents),
                 "buckets": dict(sorted(self._bucket_counts.items())),
             }
-        if lat.size:
-            out["latency_ms"] = {
-                "mean": float(lat.mean()),
-                "p50": float(np.percentile(lat, 50)),
-                "p95": float(np.percentile(lat, 95)),
-                "max": float(lat.max()),
+            comps = {
+                "latency_ms": pct(self._latencies_ms),
+                "queue_ms": pct(self._queue_ms),
+                "pack_ms_per_batch": pct(self._pack_ms),
+                "device_ms_per_batch": pct(self._device_ms),
             }
+        out.update({k: v for k, v in comps.items() if v is not None})
         return out
 
     def reset_latency_window(self) -> None:
@@ -212,15 +312,79 @@ class ServeEngine:
         window) so ``stats()['latency_ms']`` describes steady state only."""
         with self._lock:
             self._latencies_ms.clear()
+            self._queue_ms.clear()
+            self._pack_ms.clear()
+            self._device_ms.clear()
+
+    def prewarm(
+        self,
+        caps: list[int] | None = None,
+        batch_sizes: list[int] | None = None,
+        *,
+        shared_target: bool = True,
+    ) -> float:
+        """Compile the steady-state bucket programs before traffic arrives.
+
+        Runs synthetic pairs through the SAME launch paths (and therefore
+        the same module-level jit caches and static arguments) the
+        dispatcher uses, at the given capacity buckets and micro-batch
+        sizes.  The first real request then reuses a cached executable
+        instead of paying the first-compile stall (~36 s measured on the
+        axon stack, BENCH_r03 "compile+first batch").
+
+        Returns the wall seconds spent.  Defaults: one capacity bucket
+        (``bucket_multiple``, the smallest) at the power-of-two padding of
+        ``max_batch`` — callers that know their cloud sizes should pass the
+        real caps (e.g. ``[768, 896]`` for 20k-point dental scans).
+        """
+        from tpu3dm.registration.batch import (
+            ResidentTarget,
+            launch_pairs_batched,
+            launch_sources_to_target,
+        )
+
+        t0 = time.monotonic()
+        s = self.serve
+        caps = caps or [s.bucket_multiple]
+        if batch_sizes is None:
+            batch_sizes = [1 << max(0, s.max_batch - 1).bit_length()]
+        kw = dict(
+            bucket_multiple=s.bucket_multiple,
+            ransac_iterations=s.ransac_iterations,
+            icp_iterations=s.icp_iterations,
+            icp_solves_per_nn=s.icp_solves_per_nn,
+            approx_score=s.approx_score,
+            rescue_restarts=s.rescue_restarts,
+            sample_mode=s.sample_mode,
+        )
+        for cap in caps:
+            cloud = _synthetic_processed(cap)
+            for b in batch_sizes:
+                keys = np.stack([_request_key(i) for i in range(b)])
+                launch_pairs_batched(
+                    [(cloud, cloud)] * b, self.pipeline,
+                    pair_keys=keys, mesh=self.mesh, **kw,
+                ).resolve()
+                if shared_target and s.target_resident_min > 0 and self.mesh is None:
+                    rt = ResidentTarget(cloud, max_caps=s.resident_caps_max)
+                    launch_sources_to_target(
+                        [cloud] * b, rt, self.pipeline, pair_keys=keys, **kw
+                    ).resolve()
+        dt = time.monotonic() - t0
+        logger.info(
+            "prewarm: caps=%s batch_sizes=%s in %.1fs", caps, batch_sizes, dt
+        )
+        return dt
 
     def close(self, *, timeout: float | None = None) -> None:
-        """Stop accepting requests, drain the queue, join the dispatcher."""
+        """Stop accepting requests, drain the queue, join both threads."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
         self._q.put(_STOP)
         self._thread.join(timeout)
+        self._resolver.join(timeout)
 
     def __enter__(self) -> "ServeEngine":
         return self
@@ -263,15 +427,27 @@ class ServeEngine:
                 out.append(item)
 
     def _loop(self) -> None:
+        """Dispatcher: collect -> pack -> upload -> launch (never waits on
+        the device; the resolver thread does)."""
         while True:
             batch, stopping = self._collect()
             if batch:
-                self._dispatch(batch)
+                self._launch(batch)
             if stopping:
                 final = self._drain()
                 if final:
-                    self._dispatch(final)
+                    self._launch(final)
+                self._launched_q.put(_STOP)
                 return
+
+    def _resolve_loop(self) -> None:
+        """Resolver: wait on each launched micro-batch's outputs and
+        resolve its futures, while the dispatcher packs the next one."""
+        while True:
+            item = self._launched_q.get()
+            if item is _STOP:
+                return
+            self._resolve(item)
 
     def _resident(self, cloud) -> "object":
         """ResidentTarget for a target cloud, cached by object identity (the
@@ -283,22 +459,36 @@ class ServeEngine:
         tid = id(cloud)
         ent = self._residents.get(tid)
         if ent is None:
-            while len(self._residents) >= 32:
+            while len(self._residents) >= max(1, self.serve.resident_targets_max):
                 self._residents.popitem(last=False)
-            ent = (cloud, ResidentTarget(cloud))
+            ent = (cloud, ResidentTarget(cloud, max_caps=self.serve.resident_caps_max))
         self._residents[tid] = ent
         self._residents.move_to_end(tid)
         return ent[1]
 
-    def _dispatch(self, batch: list[_Pending]) -> None:
+    def _fail_batch(self, batch: list[_Pending], e: BaseException) -> None:
+        with self._lock:
+            self._n_errors += len(batch)
+            self._n_inflight -= len(batch)
+        for p in batch:
+            if not p.future.set_running_or_notify_cancel():
+                continue
+            p.future.set_exception(e)
+
+    def _launch(self, batch: list[_Pending]) -> None:
+        """Pack + upload + enqueue the micro-batch's dispatches; hand the
+        launched work to the resolver thread without waiting on the device."""
         s = self.serve
-        results: list = [None] * len(batch)  # (T, fit, rmse, bucket)
+        t_start = time.monotonic()
         # Everything — including partitioning and ResidentTarget
         # construction (which compacts on host, a D2H that can fail on
         # remote backends) — stays inside the try: an escape here would
         # kill the dispatcher thread and strand every future forever.
         try:
-            from tpu3dm.registration.batch import register_sources_to_target
+            from tpu3dm.registration.batch import (
+                launch_pairs_batched,
+                launch_sources_to_target,
+            )
 
             # Partition: requests sharing a target object form shared-target
             # groups (device-resident target, sources-only upload); the rest
@@ -317,56 +507,71 @@ class ServeEngine:
                         rest.extend(poss)
                 rest.sort()
 
+            kw = dict(
+                bucket_multiple=s.bucket_multiple,
+                ransac_iterations=s.ransac_iterations,
+                icp_iterations=s.icp_iterations,
+                icp_solves_per_nn=s.icp_solves_per_nn,
+                approx_score=s.approx_score,
+                rescue_restarts=s.rescue_restarts,
+                sample_mode=s.sample_mode,
+            )
+            pendings: list[tuple[list[int], object]] = []  # (positions, PendingBatch)
             for poss, rt in shared:
-                res = register_sources_to_target(
+                pendings.append((poss, launch_sources_to_target(
                     [batch[i].src for i in poss], rt, self.pipeline,
-                    pair_keys=np.stack([batch[i].key for i in poss]),
-                    bucket_multiple=s.bucket_multiple,
-                    ransac_iterations=s.ransac_iterations,
-                    icp_iterations=s.icp_iterations,
-                    icp_solves_per_nn=s.icp_solves_per_nn,
-                    approx_score=s.approx_score,
-                    rescue_restarts=s.rescue_restarts,
-                    sample_mode=s.sample_mode,
-                )
+                    pair_keys=np.stack([batch[i].key for i in poss]), **kw,
+                )))
+            if rest:
+                pendings.append((rest, launch_pairs_batched(
+                    [(batch[i].src, batch[i].tgt) for i in rest],
+                    self.pipeline,
+                    pair_keys=np.stack([batch[i].key for i in rest]),
+                    mesh=self.mesh, **kw,
+                )))
+            if s.fence_uploads:
+                # Marker H2D->D2H round trip: transfers ride one stream in
+                # order, so this returning means the batch's uploads are on
+                # device — pack_ms then includes the wire time (approximate
+                # by construction; used for benchmark decomposition only).
+                import jax
+
+                np.asarray(jax.device_put(np.zeros(1, np.float32)))
+        except BaseException as e:  # noqa: BLE001 - forwarded to callers
+            self._fail_batch(batch, e)
+            return
+        pack_ms = (time.monotonic() - t_start) * 1e3
+        n_shared = sum(len(poss) for poss, _ in shared)
+        item = (batch, pendings, n_shared, t_start, pack_ms)
+        if self.serve.pipeline_depth == 0:
+            self._resolve(item)  # A/B baseline: no upload/compute overlap
+        else:
+            self._launched_q.put(item)
+
+    def _resolve(self, item: tuple) -> None:
+        batch, pendings, n_shared, t_start, pack_ms = item
+        results: list = [None] * len(batch)  # (T, fit, rmse, bucket)
+        t0 = time.monotonic()
+        try:
+            for poss, pending in pendings:
+                res = pending.resolve()
                 for j, i in enumerate(poss):
                     results[i] = (
                         res.transforms[j], res.ransac_fitness[j],
                         res.icp_rmse[j], res.bucket_of_pair[j],
                     )
-            if rest:
-                res = register_pairs_batched(
-                    [(batch[i].src, batch[i].tgt) for i in rest],
-                    self.pipeline,
-                    pair_keys=np.stack([batch[i].key for i in rest]),
-                    mesh=self.mesh,
-                    bucket_multiple=s.bucket_multiple,
-                    ransac_iterations=s.ransac_iterations,
-                    icp_iterations=s.icp_iterations,
-                    icp_solves_per_nn=s.icp_solves_per_nn,
-                    approx_score=s.approx_score,
-                    rescue_restarts=s.rescue_restarts,
-                    sample_mode=s.sample_mode,
-                )
-                for j, i in enumerate(rest):
-                    results[i] = (
-                        res.transforms[j], res.ransac_fitness[j],
-                        res.icp_rmse[j], res.bucket_of_pair[j],
-                    )
         except BaseException as e:  # noqa: BLE001 - forwarded to callers
-            with self._lock:
-                self._n_errors += len(batch)
-            for p in batch:
-                if not p.future.set_running_or_notify_cancel():
-                    continue
-                p.future.set_exception(e)
+            self._fail_batch(batch, e)
             return
         now = time.monotonic()
-        lats = []
+        device_ms = (now - t0) * 1e3
+        lats, qwaits = [], []
         for i, p in enumerate(batch):
             T, fit, rmse, bucket = results[i]
             lat_ms = (now - p.t_submit) * 1e3
+            queue_ms = (t_start - p.t_submit) * 1e3
             lats.append(lat_ms)
+            qwaits.append(queue_ms)
             if not p.future.set_running_or_notify_cancel():
                 continue
             p.future.set_result(
@@ -376,13 +581,20 @@ class ServeEngine:
                     inlier_rmse=float(rmse),
                     bucket=bucket,
                     latency_ms=lat_ms,
+                    queue_ms=queue_ms,
+                    pack_ms=pack_ms,
+                    device_ms=device_ms,
                 )
             )
         with self._lock:
             self._n_batches += 1
-            self._n_shared_target += sum(len(poss) for poss, _ in shared)
+            self._n_inflight -= len(batch)
+            self._n_shared_target += n_shared
             self._batch_size_sum += len(batch)
             self._batch_size_max = max(self._batch_size_max, len(batch))
             for _, _, _, cap in results:
                 self._bucket_counts[cap] = self._bucket_counts.get(cap, 0) + 1
             self._latencies_ms.extend(lats)
+            self._queue_ms.extend(qwaits)
+            self._pack_ms.append(pack_ms)
+            self._device_ms.append(device_ms)

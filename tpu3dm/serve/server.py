@@ -43,42 +43,64 @@ import numpy as np
 
 from tpu3dm.core.config import PipelineConfig
 from tpu3dm.preprocess.pipeline import ProcessedCloud
-from tpu3dm.serve.engine import ServeConfig, ServeEngine
+from tpu3dm.serve.engine import EngineOverloaded, ServeConfig, ServeEngine
 from tpu3dm.utils.logging import setup_logging
 
 logger = setup_logging(__name__)
 
 
 class _CloudCache:
-    """Thread-safe LRU of path -> ProcessedCloud."""
+    """Thread-safe LRU of path -> ProcessedCloud, validated by file stat.
+
+    Each entry records the file's (mtime_ns, size) at preprocess time; a
+    hit whose file has since changed (or vanished) is invalidated, so an
+    overwritten PLY never serves stale registrations — and never stays
+    pinned in the engine's resident-target tier (the stale object identity
+    is dropped here, so the engine's id-keyed LRU ages it out).
+    """
 
     def __init__(self, capacity: int) -> None:
         self.capacity = capacity
-        self._d: OrderedDict[str, ProcessedCloud] = OrderedDict()
+        self._d: OrderedDict[str, tuple[tuple[int, int], ProcessedCloud]] = OrderedDict()
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
+    @staticmethod
+    def _stat(key: str) -> tuple[int, int] | None:
+        try:
+            st = Path(key).stat()
+        except OSError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
     def get(self, key: str) -> ProcessedCloud | None:
+        sig = self._stat(key)
         with self._lock:
-            if key in self._d:
+            ent = self._d.get(key)
+            if ent is not None and sig is not None and ent[0] == sig:
                 self._d.move_to_end(key)
                 self.hits += 1
-                return self._d[key]
+                return ent[1]
+            if ent is not None:
+                del self._d[key]  # stale: file changed or unreadable
             self.misses += 1
             return None
 
     def put(self, key: str, value: ProcessedCloud) -> None:
         if self.capacity <= 0:
             return
+        sig = self._stat(key)
+        if sig is None:
+            return
         with self._lock:
-            self._d[key] = value
+            self._d[key] = (sig, value)
             self._d.move_to_end(key)
             while len(self._d) > self.capacity:
                 self._d.popitem(last=False)
 
 
-def _decode_points(spec: dict) -> np.ndarray:
+def _decode_points(spec: dict, max_points: int) -> np.ndarray:
     if "points" in spec:
         pts = np.asarray(spec["points"], np.float32)
     elif "points_b64" in spec:
@@ -92,6 +114,8 @@ def _decode_points(spec: dict) -> np.ndarray:
         raise ValueError("cloud spec needs 'path', 'points', or 'points_b64'")
     if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] == 0:
         raise ValueError(f"points must be a non-empty [n, 3] array, got {pts.shape}")
+    if pts.shape[0] > max_points:
+        raise ValueError(f"cloud has {pts.shape[0]} points (max {max_points})")
     if not np.isfinite(pts).all():
         raise ValueError("points contain NaN/Inf")
     return pts
@@ -110,16 +134,43 @@ class RegistrationServer:
         serve: ServeConfig = ServeConfig(),
         cache_size: int = 64,
         mesh=None,
+        max_line_bytes: int = 64 << 20,
+        max_points: int = 2_000_000,
+        path_root: str | Path | None = None,
     ) -> None:
+        """``max_line_bytes`` bounds one request line (a 1M-point cloud is
+        ~16 MB base64), ``max_points`` bounds a decoded/loaded cloud, and
+        ``path_root`` — when set — restricts ``{"path": ...}`` specs to
+        files under that directory (resolved, so ``..`` cannot escape).
+        A non-loopback bind without a path_root is logged as a warning:
+        remote clients could otherwise probe and preprocess any
+        server-readable file."""
         self.engine = ServeEngine(pipeline, serve, mesh=mesh)
         self.cache = _CloudCache(cache_size)
+        self.max_line_bytes = int(max_line_bytes)
+        self.max_points = int(max_points)
+        self.path_root = Path(path_root).resolve() if path_root is not None else None
+        self._started = False
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:  # noqa: D102 - protocol loop
+                limit = outer.max_line_bytes
                 while True:
-                    line = self.rfile.readline()
+                    line = self.rfile.readline(limit + 1)
                     if not line:
+                        return
+                    if len(line) > limit:
+                        # Oversized request: answer once, then drop the
+                        # connection — the rest of the line is unread
+                        # garbage we must not parse as a new request.
+                        resp = {
+                            "ok": False,
+                            "error": f"request line exceeds {limit} bytes",
+                            "code": "too_large",
+                        }
+                        self.wfile.write(json.dumps(resp).encode() + b"\n")
+                        self.wfile.flush()
                         return
                     line = line.strip()
                     if not line:
@@ -134,6 +185,21 @@ class RegistrationServer:
 
         self._tcp = Server((host, port), Handler)
         self.host, self.port = self._tcp.server_address[:2]
+        if self.host not in ("127.0.0.1", "::1", "localhost") and self.path_root is None:
+            logger.warning(
+                "binding non-loopback host %s without path_root: remote clients "
+                "can make the server read any server-readable file via 'path' "
+                "specs — pass path_root to restrict them", self.host,
+            )
+
+    def prewarm(
+        self,
+        caps: list[int] | None = None,
+        batch_sizes: list[int] | None = None,
+    ) -> float:
+        """Compile steady-state bucket shapes before accepting traffic
+        (delegates to ``ServeEngine.prewarm``); returns wall seconds."""
+        return self.engine.prewarm(caps, batch_sizes)
 
     # -- request handling ---------------------------------------------------
 
@@ -141,16 +207,25 @@ class RegistrationServer:
         if not isinstance(spec, dict):
             raise ValueError("cloud spec must be an object")
         if "path" in spec:
-            key = str(Path(spec["path"]).resolve())
+            resolved = Path(spec["path"]).resolve()
+            if self.path_root is not None and not resolved.is_relative_to(self.path_root):
+                raise PermissionError(
+                    f"path outside the served root: {spec['path']}"
+                )
+            key = str(resolved)
             hit = self.cache.get(key)
             if hit is not None:
                 return hit
             from tpu3dm.io.ply import read_ply
 
-            pts = np.asarray(read_ply(spec["path"])["points"], np.float32)
+            pts = np.asarray(read_ply(key)["points"], np.float32)
+            if pts.shape[0] > self.max_points:
+                raise ValueError(
+                    f"cloud has {pts.shape[0]} points (max {self.max_points})"
+                )
         else:
             key = None
-            pts = _decode_points(spec)
+            pts = _decode_points(spec, self.max_points)
         from tpu3dm.preprocess.pipeline import preprocess_points_batch
 
         proc = preprocess_points_batch(
@@ -188,6 +263,16 @@ class RegistrationServer:
                 "inlier_rmse": r.inlier_rmse,
                 "bucket": r.bucket,
                 "latency_ms": r.latency_ms,
+                "queue_ms": r.queue_ms,
+                "pack_ms": r.pack_ms,
+                "device_ms": r.device_ms,
+            }
+        except EngineOverloaded as e:
+            # Explicit shed: tell the client to back off (distinct code so
+            # clients can retry-with-backoff without string matching).
+            return {
+                "ok": False, "id": rid, "code": "overloaded",
+                "error": f"{type(e).__name__}: {e}",
             }
         except Exception as e:  # noqa: BLE001 - reported to the client
             logger.warning("request failed: %s", e)
@@ -197,9 +282,11 @@ class RegistrationServer:
 
     def serve_forever(self) -> None:
         logger.info("registration server listening on %s:%d", self.host, self.port)
+        self._started = True
         self._tcp.serve_forever()
 
     def start_background(self) -> threading.Thread:
+        self._started = True
         t = threading.Thread(
             target=self._tcp.serve_forever, name="tpu3dm-serve-tcp", daemon=True
         )
@@ -207,7 +294,10 @@ class RegistrationServer:
         return t
 
     def close(self) -> None:
-        self._tcp.shutdown()
+        # shutdown() blocks forever if serve_forever was never entered
+        # (construct-then-close error paths): only call it after a start.
+        if self._started:
+            self._tcp.shutdown()
         self._tcp.server_close()
         self.engine.close()
 
