@@ -387,7 +387,119 @@ def main() -> None:
         + f" -> {bucketed_pairs_per_sec:.1f} pairs/s"
     )
 
+    # --- fresh disk->result streaming (the end-to-end production number) ----
+    # A manifest of never-seen PLY files through the fused ingest+register
+    # pipeline (registration/stream.py): windowed threaded parse + voxel hash
+    # on host, ONE device dispatch per window that computes FPFH features AND
+    # registers (features never round-trip the host link).  Steady state =
+    # windows 2..N (window 1 pays the compile).
+    if time.time() - t_start > 520.0:
+        log("skipping fresh-stream phase (time budget)")
+        return _emit(locals())
+    try:
+        _fresh_stream_phase(cfg)
+    except Exception as e:  # the headline JSON must still print
+        log(f"fresh-stream phase FAILED: {type(e).__name__}: {e}")
+
     return _emit(locals())
+
+
+_FRESH = None
+
+
+def _fresh_stream_phase(cfg) -> None:
+    """Measure gated fresh-pairs/s; fills the module-level _FRESH dict."""
+    global _FRESH
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dm.registration.stream import (
+        make_stream_manifest,
+        stream_quality,
+        stream_register_pairs,
+    )
+    n_pairs = int(_os.environ.get("TPU3DM_BENCH_STREAM_PAIRS", 384))
+    window = int(_os.environ.get("TPU3DM_BENCH_STREAM_WINDOW", 128))
+    down_cap = int(_os.environ.get("TPU3DM_BENCH_STREAM_CAP", 896))
+    tmp = tempfile.mkdtemp(prefix="tpu3dm_stream_")
+    try:
+        t0 = time.time()
+        pair_paths, trues, moments = make_stream_manifest(
+            tmp, n_pairs, n_points=_N_POINTS, sigma=0.01
+        )
+        log(f"stream manifest: {2 * n_pairs} fresh PLYs written in {time.time()-t0:.1f}s")
+        res = stream_register_pairs(
+            pair_paths, cfg, window=window, down_cap=down_cap,
+            fuse_device=True,
+            ransac_iterations=RANSAC_HYPOTHESES,
+            icp_iterations=ICP_ITERS,
+            icp_solves_per_nn=ICP_SOLVES_PER_NN,
+            approx_score=APPROX_SCORE,
+        )
+        q = stream_quality(res, trues, moments)
+        # Device-only rate at the same compiled program: re-dispatch one
+        # window with device-resident inputs (no H2D in the timed loop).
+        # Host-ingest rate comes from the producer's per-window timing; a
+        # PCIe host overlaps the two, so its projection is min(rates)
+        # (PCIe upload of 2.75 MB/window is ~0.2 ms — negligible).
+        from tpu3dm.registration.stream import _fused_ingest_register
+
+        pp, rs = cfg.preprocess, cfg.ransac
+        fn = _fused_ingest_register(
+            pp.normal_max_nn, pp.fpfh_max_nn,
+            pp.normal_radius <= pp.fpfh_radius,
+            RANSAC_HYPOTHESES, ICP_ITERS, ICP_SOLVES_PER_NN, APPROX_SCORE,
+            rs.rescue_restarts, rs.score_subset, rs.rescore_top, "roll",
+        )
+        rng0 = np.random.default_rng(0)
+        pts_d = jax.device_put(
+            rng0.normal(size=(2 * window, down_cap, 3)).astype(np.float32) * 0.5
+        )
+        msk_d = jax.device_put(np.ones((2 * window, down_cap), bool))
+        keys_d = jax.device_put(
+            np.asarray(jax.random.split(jax.random.PRNGKey(3), window))
+        )
+        args = (
+            pts_d, msk_d, keys_d,
+            jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
+            jnp.float32(rs.dist_thresh), jnp.float32(cfg.icp.dist_thresh),
+        )
+        np.asarray(fn(*args)[1])  # warm (program already compiled)
+        dtimes = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(fn(*args)[1])
+            dtimes.append(time.time() - t0)
+        device_rate = window / float(np.median(dtimes))
+        ingest_med = float(np.median(res.ingest_seconds)) if res.ingest_seconds else None
+        host_rate = (window / ingest_med) if ingest_med else None
+        pcie_proj = min(device_rate, host_rate) if host_rate else device_rate
+        log(
+            f"fresh stream: {n_pairs} pairs, steady "
+            f"{res.steady_pairs_per_sec:.1f} pairs/s (total {res.fresh_pairs_per_sec:.1f} "
+            f"incl. compile); device-only {device_rate:.1f}, host-ingest "
+            f"{host_rate:.1f} pairs/s -> PCIe projection {pcie_proj:.1f}; "
+            f"quality rot_max={q['rot_err_deg_worst_pair']:.3f} deg "
+            f"rmse_max={q['align_rmse_worst_pair']:.4f} "
+            f"fit_min={q['fitness_min']:.3f} ok={q['quality_ok']}"
+        )
+        _FRESH = {
+            "fresh_pairs_per_sec": round(res.steady_pairs_per_sec or res.fresh_pairs_per_sec, 2),
+            "fresh_pairs_per_sec_incl_compile": round(res.fresh_pairs_per_sec, 2),
+            "fresh_device_pairs_per_sec": round(device_rate, 2),
+            "fresh_host_ingest_pairs_per_sec": round(host_rate, 2) if host_rate else None,
+            "fresh_pairs_per_sec_pcie_projected": round(pcie_proj, 2),
+            "fresh_rot_err_deg_worst_pair": round(q["rot_err_deg_worst_pair"], 3),
+            "fresh_rmse_worst_pair": round(q["align_rmse_worst_pair"], 4),
+            "fresh_quality_ok": q["quality_ok"],
+            "fresh_manifest_pairs": n_pairs,
+            "fresh_window": window,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _emit(ns) -> None:
@@ -422,6 +534,8 @@ def _emit(ns) -> None:
         ),
         "backend": jax.default_backend(),
     }
+    if _FRESH is not None:
+        result.update(_FRESH)
     print(json.dumps(result))
 
 

@@ -474,6 +474,7 @@ def run_serve_benchmark(
     max_delay_ms: float = 5.0,
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
+    overlap_ab: bool = False,
     out_json: str = "benchmark_serve.json",
 ) -> dict:
     """Online-serving benchmark: sustained requests/s through the
@@ -481,13 +482,19 @@ def run_serve_benchmark(
 
     ``clients`` threads submit ``n_requests`` single-pair requests (round-
     robin over ``n_distinct`` preprocessed pairs) into ONE ServeEngine.
-    Reports sustained request throughput, the engine's achieved batch sizes,
-    per-request latency percentiles, and a per-request quality check
-    (rotation error vs each pair's ground truth).  No reference counterpart
-    (the reference registers one pair per process run, src/main.py:26-38).
+    Reports: prewarmed first-request latency (cold-start story), sustained
+    request throughput, achieved batch sizes, per-request latency
+    percentiles DECOMPOSED into queue/pack/device components (fenced
+    uploads, so pack includes the wire transfer), shed counts, and a
+    per-request quality check.  ``overlap_ab=True`` additionally measures
+    the pipeline_depth=0 baseline (no upload/compute overlap) for an A/B.
+    No reference counterpart (the reference registers one pair per process
+    run, src/main.py:26-38).
     """
+    import dataclasses as _dc
     import threading
 
+    from tpu3dm.core.cloud import round_up
     from tpu3dm.serve import ServeConfig, ServeEngine
 
     cfg = PipelineConfig.with_voxel_size(0.3)
@@ -502,25 +509,27 @@ def run_serve_benchmark(
     logger.info("serve bench: ingested %d clouds in %.1fs", len(raw), time.time() - t0)
     pairs = [(procs[i], procs[i + 1]) for i in range(0, len(procs), 2)]
 
-    engine = ServeEngine(
-        cfg,
-        ServeConfig(
-            max_batch=max_batch,
-            max_delay_ms=max_delay_ms,
-            ransac_iterations=ransac_iterations,
-            icp_iterations=icp_iterations,
-        ),
+    serve_cfg = ServeConfig(
+        max_batch=max_batch,
+        max_delay_ms=max_delay_ms,
+        ransac_iterations=ransac_iterations,
+        icp_iterations=icp_iterations,
+        fence_uploads=True,  # honest pack(+wire)/device split in the artifact
     )
-    try:
-        # Warm-up: compile the bucket programs outside the timed window (one
-        # full-batch group so the padded pair-axis sizes match steady state).
-        warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
-        for f in warm:
-            f.result(timeout=1200)
-        # Latency percentiles must describe the same steady-state window as
-        # requests_per_sec — drop the compile-window samples.
-        engine.reset_latency_window()
+    # Steady-state capacity buckets of this workload, for the prewarm.
+    caps = sorted({
+        round_up(
+            max(
+                int(np.asarray(s_.down.mask).sum()),
+                int(np.asarray(t_.down.mask).sum()),
+                1,
+            ),
+            serve_cfg.bucket_multiple,
+        )
+        for s_, t_ in pairs
+    })
 
+    def run_flood(engine) -> tuple[float, list, dict]:
         results: list = [None] * n_requests
         errors: list = []
 
@@ -545,9 +554,47 @@ def run_serve_benchmark(
         wall = time.time() - t0
         if errors:
             raise errors[0]
-        engine_stats = engine.stats()
+        return wall, results, engine.stats()
+
+    engine = ServeEngine(cfg, serve_cfg)
+    try:
+        # Prewarm compiles the steady-state bucket programs (pair-batched +
+        # shared-target) through the real launch paths; the first request
+        # after it must run warm.
+        t0 = time.time()
+        prewarm_s = engine.prewarm(caps=caps, batch_sizes=[max_batch])
+        first = engine.register(*pairs[0], timeout=1200)
+        first_request_ms = first.latency_ms
+        logger.info(
+            "prewarm %.1fs (caps %s), first request after prewarm: %.0f ms",
+            prewarm_s, caps, first_request_ms,
+        )
+        # One stabilization group at full batch, then a clean timed window.
+        warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
+        for f in warm:
+            f.result(timeout=1200)
+        engine.reset_latency_window()
+
+        wall, results, engine_stats = run_flood(engine)
     finally:
         engine.close()
+
+    baseline = None
+    if overlap_ab:
+        # A/B: same flood with the resolver inline (no pack/compute overlap).
+        eng0 = ServeEngine(cfg, _dc.replace(serve_cfg, pipeline_depth=0))
+        try:
+            warm = [eng0.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
+            for f in warm:
+                f.result(timeout=1200)
+            eng0.reset_latency_window()
+            wall0, _, stats0 = run_flood(eng0)
+            baseline = {
+                "requests_per_sec": round(n_requests / wall0, 1),
+                "latency_ms": stats0.get("latency_ms"),
+            }
+        finally:
+            eng0.close()
 
     rot_errs = []
     for r, res in enumerate(results):
@@ -559,11 +606,18 @@ def run_serve_benchmark(
         "clients": clients,
         "requests_per_sec": round(n_requests / wall, 1),
         "wall_s": round(wall, 2),
+        "prewarm_s": round(prewarm_s, 1),
+        "first_request_after_prewarm_ms": round(first_request_ms, 1),
         "mean_batch_size": round(engine_stats["mean_batch_size"], 1),
         "max_batch_size": engine_stats["max_batch_size"],
         "shared_target_requests": engine_stats.get("shared_target_requests"),
         "resident_targets": engine_stats.get("resident_targets"),
+        "shed": engine_stats.get("shed"),
         "latency_ms": engine_stats.get("latency_ms"),
+        "queue_ms": engine_stats.get("queue_ms"),
+        "pack_ms_per_batch": engine_stats.get("pack_ms_per_batch"),
+        "device_ms_per_batch": engine_stats.get("device_ms_per_batch"),
+        "no_overlap_baseline": baseline,
         "rot_err_deg_max": round(max(rot_errs), 3),
         "quality_ok": max(rot_errs) < 2.0,
         "config": {
@@ -572,16 +626,115 @@ def run_serve_benchmark(
             "ransac_iterations": ransac_iterations,
             "icp_iterations": icp_iterations,
             "n_points": n_points,
+            "fence_uploads": True,
         },
         "backend": jax.default_backend(),
     }
     Path(out_json).write_text(json.dumps(report, indent=2))
     logger.info(
-        "serve bench: %.1f req/s (mean batch %.1f, rot_err max %.3f deg) -> %s",
+        "serve bench: %.1f req/s (mean batch %.1f, rot_err max %.3f deg, "
+        "first-req %.0f ms%s) -> %s",
         report["requests_per_sec"], report["mean_batch_size"],
-        report["rot_err_deg_max"], out_json,
+        report["rot_err_deg_max"], first_request_ms,
+        f", no-overlap {baseline['requests_per_sec']} req/s" if baseline else "",
+        out_json,
     )
     return report
+
+
+def run_stream_benchmark(
+    n_pairs: int = 384,
+    *,
+    n_points: int = 20_000,
+    window: int = 128,
+    down_cap: int = 896,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+    generic_ab: bool = False,
+    out_json: str = "benchmark_stream.json",
+) -> dict:
+    """Disk->result streaming benchmark: gated fresh-pairs/s.
+
+    Writes a manifest of never-before-seen synthetic PLYs, streams it
+    through the fused ingest+register pipeline (registration/stream.py),
+    and reports steady-state fresh-pairs/s with the per-pair quality gate,
+    the host-ingest and device-only component rates, and the PCIe-host
+    projection.  ``generic_ab=True`` additionally measures the generic
+    (separate feature/registration dispatches, features round-tripping the
+    host link) path for an A/B.  Reference role: preprocessing as phase 1
+    of the comprehensive benchmark (benchmark_ransac.py:31-60,223-280),
+    here fused with registration instead of measured apart.
+    """
+    import shutil
+    import tempfile
+
+    from tpu3dm.registration.stream import (
+        make_stream_manifest,
+        stream_quality,
+        stream_register_pairs,
+    )
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    tmp = tempfile.mkdtemp(prefix="tpu3dm_streambench_")
+    try:
+        t0 = time.time()
+        pair_paths, trues, moments = make_stream_manifest(
+            tmp, n_pairs, n_points=n_points, sigma=0.01
+        )
+        manifest_s = time.time() - t0
+        kw = dict(
+            window=window, down_cap=down_cap,
+            ransac_iterations=ransac_iterations,
+            icp_iterations=icp_iterations,
+        )
+        res = stream_register_pairs(pair_paths, cfg, fuse_device=True, **kw)
+        q = stream_quality(res, trues, moments)
+        ingest_med = (
+            float(np.median(res.ingest_seconds)) if res.ingest_seconds else None
+        )
+        report = {
+            "manifest_pairs": n_pairs,
+            "n_points": n_points,
+            "window": window,
+            "down_cap": down_cap,
+            "manifest_write_s": round(manifest_s, 1),
+            "fresh_pairs_per_sec": round(
+                res.steady_pairs_per_sec or res.fresh_pairs_per_sec, 2
+            ),
+            "fresh_pairs_per_sec_incl_compile": round(res.fresh_pairs_per_sec, 2),
+            "window_done_s": [round(s, 3) for s in res.window_done_s],
+            "host_ingest_s_per_window": (
+                [round(s, 3) for s in res.ingest_seconds] or None
+            ),
+            "host_ingest_pairs_per_sec": (
+                round(window / ingest_med, 1) if ingest_med else None
+            ),
+            **q,
+            "backend": jax.default_backend(),
+        }
+        if generic_ab:
+            res_g = stream_register_pairs(pair_paths, cfg, **kw)
+            q_g = stream_quality(res_g, trues, moments)
+            report["generic_path"] = {
+                "fresh_pairs_per_sec": round(
+                    res_g.steady_pairs_per_sec or res_g.fresh_pairs_per_sec, 2
+                ),
+                "fresh_pairs_per_sec_incl_compile": round(
+                    res_g.fresh_pairs_per_sec, 2
+                ),
+                "quality_ok": q_g["quality_ok"],
+            }
+        Path(out_json).write_text(json.dumps(report, indent=2))
+        logger.info(
+            "stream bench: %.1f fresh pairs/s steady (%.1f incl. compile), "
+            "rot_max %.3f deg, ok=%s -> %s",
+            report["fresh_pairs_per_sec"],
+            report["fresh_pairs_per_sec_incl_compile"],
+            report["rot_err_deg_worst_pair"], report["quality_ok"], out_json,
+        )
+        return report
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_overlap_benchmark(
@@ -595,57 +748,65 @@ def run_overlap_benchmark(
     out_json: str = "benchmark_overlap.json",
 ) -> dict:
     """Partial-overlap robustness sweep (the reference's trim_ply scenario,
-    BASELINE config 2) with an alias-rescue A/B.
+    BASELINE config 2) with an alias-rescue A/B, over TWO geometry
+    families: the dental arch (the rescue margins' calibration family) and
+    the CAD plate-with-holes (a shape class they were NOT tuned on — the
+    transfer check for RESCUE_TIE_RATIO / RESCUE_OVERRIDE_MARGIN,
+    registration/fused.py).
 
-    For each overlap fraction the target is cropped to that fraction of the
-    source's extent before the ground-truth transform; ``seeds`` RANSAC
-    seeds register the same pair in one batched dispatch.  Reports per
-    overlap, for the plain fused step AND with ``rescue_restarts`` enabled:
-    median/max rotation error, median fitness, and the fraction of seeds
-    recovering the pose within 2 degrees.
+    For each (family, overlap) the target is cropped to that fraction of
+    the source's extent before the ground-truth transform; ``seeds``
+    RANSAC seeds register the same pair in one batched dispatch.  Reports
+    per overlap, for the plain fused step AND with ``rescue_restarts``
+    enabled: median/max rotation error, median fitness, and the fraction
+    of seeds recovering the pose within 2 degrees.
     """
     from tpu3dm.registration.batch import register_pairs_batched
 
     cfg = PipelineConfig.with_voxel_size(voxel_size)
-    rows = []
-    for ov in overlaps:
-        src, tgt, T_true = make_benchmark_pair(
-            n_points, seed=17, overlap=ov, sigma=0.01
-        )
-        ps, pt = preprocess_points_batch(
-            [src, tgt], cfg.preprocess, full_normals=False
-        )
-        pairs = [(ps, pt)] * seeds
-        # round(), not int(): 0.7 * 1000 is 699.999... and the truncated
-        # seed would not match an external PRNGKey(700) reproduction.
-        keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(round(ov * 1000)), seeds)
-        )
-        row = {"overlap": ov}
-        for tag, rr in (("plain", 0), ("rescue", rescue_restarts)):
-            res = register_pairs_batched(
-                pairs, cfg, pair_keys=keys,
-                ransac_iterations=ransac_iterations,
-                rescue_restarts=rr,
+    families = {}
+    for family in ("arch", "plate"):
+        rows = []
+        for ov in overlaps:
+            src, tgt, T_true = make_benchmark_pair(
+                n_points, seed=17, overlap=ov, sigma=0.01, family=family
             )
-            errs = rot_errs_deg(res.transforms, T_true)
-            row[tag] = {
-                "rot_err_deg_median": round(float(np.median(errs)), 3),
-                "rot_err_deg_max": round(float(errs.max()), 3),
-                "fitness_median": round(float(np.median(res.ransac_fitness)), 3),
-                "success_rate_2deg": round(float((errs < 2.0).mean()), 3),
-            }
-        rows.append(row)
-        logger.info(
-            "overlap %.2f: plain %.0f%% ok (med %.3f deg) | rescue %.0f%% ok (med %.3f deg)",
-            ov,
-            100 * row["plain"]["success_rate_2deg"],
-            row["plain"]["rot_err_deg_median"],
-            100 * row["rescue"]["success_rate_2deg"],
-            row["rescue"]["rot_err_deg_median"],
-        )
+            ps, pt = preprocess_points_batch(
+                [src, tgt], cfg.preprocess, full_normals=False
+            )
+            pairs = [(ps, pt)] * seeds
+            # round(), not int(): 0.7 * 1000 is 699.999... and the truncated
+            # seed would not match an external PRNGKey(700) reproduction.
+            keys = np.asarray(
+                jax.random.split(jax.random.PRNGKey(round(ov * 1000)), seeds)
+            )
+            row = {"overlap": ov}
+            for tag, rr in (("plain", 0), ("rescue", rescue_restarts)):
+                res = register_pairs_batched(
+                    pairs, cfg, pair_keys=keys,
+                    ransac_iterations=ransac_iterations,
+                    rescue_restarts=rr,
+                )
+                errs = rot_errs_deg(res.transforms, T_true)
+                row[tag] = {
+                    "rot_err_deg_median": round(float(np.median(errs)), 3),
+                    "rot_err_deg_max": round(float(errs.max()), 3),
+                    "fitness_median": round(float(np.median(res.ransac_fitness)), 3),
+                    "success_rate_2deg": round(float((errs < 2.0).mean()), 3),
+                }
+            rows.append(row)
+            logger.info(
+                "%s overlap %.2f: plain %.0f%% ok (med %.3f deg) | rescue %.0f%% ok (med %.3f deg)",
+                family, ov,
+                100 * row["plain"]["success_rate_2deg"],
+                row["plain"]["rot_err_deg_median"],
+                100 * row["rescue"]["success_rate_2deg"],
+                row["rescue"]["rot_err_deg_median"],
+            )
+        families[family] = rows
     report = {
-        "rows": rows,
+        "rows": families["arch"],  # back-compat: round-3 artifact shape
+        "families": families,
         "config": {
             "n_points": n_points, "seeds": seeds,
             "voxel_size": voxel_size,
@@ -1083,6 +1244,29 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         help="distinct target models for --serve (1 = the one-model "
         "steady state, maximally exercising the resident-target path)",
     )
+    ap.add_argument(
+        "--serve-ab", action="store_true",
+        help="also measure the no-overlap (pipeline_depth=0) baseline "
+        "for the --serve run (upload/compute overlap A/B)",
+    )
+    ap.add_argument(
+        "--stream", type=int, default=0, metavar="N",
+        help="disk->result streaming benchmark: N fresh PLY pairs through "
+        "the fused ingest+register pipeline (gated fresh-pairs/s)",
+    )
+    ap.add_argument(
+        "--stream-window", type=int, default=128,
+        help="pairs per streaming window for --stream",
+    )
+    ap.add_argument(
+        "--stream-points", type=int, default=20_000,
+        help="points per cloud for --stream",
+    )
+    ap.add_argument(
+        "--stream-ab", action="store_true",
+        help="also measure the generic (unfused, features round-trip the "
+        "host link) streaming path for an A/B",
+    )
 
 
 def main(argv=None) -> int:
@@ -1111,6 +1295,20 @@ def main(argv=None) -> int:
             max_batch=args.serve_max_batch,
             n_distinct=args.serve_distinct,
             ransac_iterations=args.ransac_iterations,
+            overlap_ab=args.serve_ab,
+            out_json=out,
+        )
+        return 0
+    if args.stream:
+        out = args.out_json
+        if out == "benchmark_results.json":
+            out = "benchmark_stream.json"
+        run_stream_benchmark(
+            args.stream,
+            n_points=args.stream_points,
+            window=args.stream_window,
+            ransac_iterations=args.ransac_iterations,
+            generic_ab=args.stream_ab,
             out_json=out,
         )
         return 0

@@ -118,6 +118,7 @@ def preprocess_files_batch(
     key=None,
     workers: int | None = None,
     full_normals: bool = True,
+    down_cap: int | None = None,
 ) -> list:
     """Threaded file ingest + one vmapped device dispatch for the features.
 
@@ -130,7 +131,8 @@ def preprocess_files_batch(
 
     raws = [d["points"] for d in read_ply_many(paths, workers=workers)]
     return preprocess_points_batch(
-        raws, config, key=key, workers=workers, full_normals=full_normals
+        raws, config, key=key, workers=workers, full_normals=full_normals,
+        down_cap=down_cap,
     )
 
 
@@ -143,6 +145,7 @@ def iter_preprocessed_windows(
     skip_paths: set[str] | None = None,
     key=None,
     full_normals: bool = True,
+    down_cap: int | None = None,
 ) -> Iterator[tuple[list[int], dict[str, object]]]:
     """Double-buffered window iterator over a pair manifest.
 
@@ -173,7 +176,8 @@ def iter_preprocessed_windows(
             }
         )
         procs = preprocess_files_batch(
-            uniq, config, key=key, workers=workers, full_normals=full_normals
+            uniq, config, key=key, workers=workers, full_normals=full_normals,
+            down_cap=down_cap,
         )
         return idxs, dict(zip(uniq, procs))
 

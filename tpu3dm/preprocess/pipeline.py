@@ -254,6 +254,7 @@ def preprocess_points_batch(
     key: jax.Array | None = None,
     workers: int | None = None,
     full_normals: bool = True,
+    down_cap: int | None = None,
 ) -> list[ProcessedCloud]:
     """Preprocess MANY clouds in one vmapped device dispatch.
 
@@ -272,6 +273,12 @@ def preprocess_points_batch(
     feature stages for every cloud in a single compiled program.  Clouds are
     padded to shared capacities (max over the batch, rounded to 256) so one
     compile covers similarly-sized batches.
+
+    ``down_cap`` pins the downsampled capacity: a streaming caller
+    (registration/stream.py) processing many windows of similar clouds
+    keeps every window on ONE compiled feature program instead of
+    recompiling when a window's max down-count crosses a 256 quantum.
+    Raised automatically if some cloud exceeds it.
     """
     from tpu3dm.core.cloud import round_up
     from tpu3dm.io.loader import voxel_downsample_many
@@ -280,6 +287,8 @@ def preprocess_points_batch(
         return []
     downs = voxel_downsample_many(clouds, config.voxel_size, workers=workers)
     cap_d = max(round_up(int(np.asarray(d.mask).sum()), 256) for d in downs)
+    if down_cap is not None:
+        cap_d = max(cap_d, down_cap)
     cap_f = max(round_up(p.shape[0], 256) for p in clouds)
 
     downs_pc = [

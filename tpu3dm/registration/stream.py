@@ -1,0 +1,534 @@
+"""Disk->result streaming registration — the production ingest+register path.
+
+The batched registration headline (registration/batch.py, bench.py) assumes
+preprocessed, device-resident clouds; a real workload starts from PLY files
+on disk.  The reference benchmark makes preprocessing its phase 1 for the
+same reason (/root/reference/benchmark_ransac.py:31-60,223-280).  This
+module measures and optimizes that full path as ONE pipeline:
+
+  manifest of pair paths
+    -> windowed threaded ingest (io/loader.py: native parse + voxel hash on
+       host threads; window i+1's files ingest WHILE window i registers)
+    -> one vmapped feature dispatch per window (preprocess_points_batch,
+       full_normals=False, pinned ``down_cap`` so every window reuses one
+       compiled feature program)
+    -> capacity-bucketed batched registration per window, LAUNCHED
+       asynchronously (launch_pairs_batched) and resolved one window behind,
+       so window i+1's host pack + upload overlaps window i's device compute.
+
+Steady-state throughput is reported over windows 2..N (window 1 pays the
+compiles); per-pair PRNG keys are positional in the FULL manifest, so the
+window size changes throughput, never results (same guarantee as
+``tpu3dm register-batch --window``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from tpu3dm.core.config import PipelineConfig
+from tpu3dm.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+# --- fused ingest+register: ONE device dispatch per window -----------------
+#
+# The generic path (preprocess window -> register window) computes features
+# on device, downloads them (batch.py compacts on host), and re-uploads the
+# padded pair batch: ~2x 280 KB per pair of pure feature traffic through
+# the host link.  At a 70 MB/s tunnel that traffic IS the pipeline bound
+# (~1 s per 128-pair window vs ~50 ms of device compute).  This program
+# keeps the features on device: upload the voxel-downsampled POINTS only
+# (~10 KB per cloud), compute normals+FPFH and run the fused
+# correspondence->RANSAC->ICP step in the same compiled program, download
+# 4x4 transforms.  Per-window wire traffic drops ~50x.
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_ingest_register(
+    normal_max_nn: int,
+    fpfh_max_nn: int,
+    share_knn: bool,
+    ransac_iterations: int,
+    icp_iterations: int,
+    icp_solves_per_nn: int,
+    approx_score: bool,
+    rescue_restarts: int,
+    score_subset: int,
+    rescore_top: int,
+    sample_mode: str,
+):
+    import jax.numpy as jnp
+
+    from tpu3dm.core.cloud import PointCloud
+    from tpu3dm.preprocess.pipeline import down_features
+    from tpu3dm.registration.fused import fused_register_step
+
+    def run(pts, masks, keys, normal_radius, fpfh_radius, dist_thresh, icp_thresh):
+        # pts: [2W, cap, 3] (sources then targets); masks: [2W, cap];
+        # keys: [W, 2] uint32.
+        n2 = pts.shape[0]
+        w = n2 // 2
+        zeros3 = jnp.zeros_like(pts)
+        feat0 = jnp.zeros(pts.shape[:2] + (0,), pts.dtype)
+        clouds = PointCloud(points=pts, mask=masks, normals=zeros3, features=feat0)
+        featured = jax.vmap(
+            lambda pc: down_features(
+                pc, normal_radius, fpfh_radius,
+                normal_max_nn=normal_max_nn, fpfh_max_nn=fpfh_max_nn,
+                share_knn=share_knn,
+            )
+        )(clouds)
+        src = jax.tree_util.tree_map(lambda a: a[:w], featured)
+        tgt = jax.tree_util.tree_map(lambda a: a[w:], featured)
+
+        def step(sp, sf, sm, tp, tf, tm, tn, k):
+            return fused_register_step(
+                sp, sf, sm, jnp.zeros_like(sp), tp, tf, tm, tn, k,
+                dist_thresh=dist_thresh,
+                icp_thresh=icp_thresh,
+                ransac_iterations=ransac_iterations,
+                ransac_batch=min(ransac_iterations, 4096),
+                icp_iterations=icp_iterations,
+                icp_solves_per_nn=icp_solves_per_nn,
+                approx_score=approx_score,
+                rescue_restarts=rescue_restarts,
+                score_subset=score_subset,
+                rescore_top=rescore_top,
+                sample_mode=sample_mode,
+            )
+
+        return jax.vmap(step)(
+            src.points, src.features, src.mask,
+            tgt.points, tgt.features, tgt.mask, tgt.normals,
+            keys,
+        )
+
+    return jax.jit(run)
+
+
+def _iter_host_windows(
+    pair_paths: list[tuple[str, str]],
+    voxel_size: float,
+    *,
+    window: int,
+    workers: int | None,
+    down_cap: int,
+):
+    """Host-only windowed producer for the fused device path.
+
+    Yields ``(idxs, pts [2W, cap, 3] float32, masks [2W, cap] bool)`` with
+    sources in rows [0, W) and targets in [W, 2W).  Parse + voxel hash run
+    on a prefetch thread (native code releases the GIL), one window ahead —
+    NO device work happens here, so the consumer's single fused dispatch
+    per window owns the device.
+    """
+    from tpu3dm.io.loader import read_ply_many, voxel_downsample_many
+
+    windows = [
+        list(range(lo, min(lo + window, len(pair_paths))))
+        for lo in range(0, len(pair_paths), window)
+    ]
+
+    def ingest(idxs):
+        t0 = time.monotonic()
+        uniq = sorted({p for i in idxs for p in pair_paths[i]})
+        raws = {
+            p: d["points"]
+            for p, d in zip(uniq, read_ply_many(uniq, workers=workers))
+        }
+        downs = voxel_downsample_many(
+            [raws[p] for p in uniq], voxel_size, workers=workers
+        )
+        tight = {}
+        for p, d in zip(uniq, downs):
+            m = np.asarray(d.mask)
+            tight[p] = np.asarray(d.points)[m]
+        w = len(idxs)
+        pts = np.zeros((2 * w, down_cap, 3), np.float32)
+        masks = np.zeros((2 * w, down_cap), bool)
+        for j, i in enumerate(idxs):
+            for slot, path in ((j, pair_paths[i][0]), (w + j, pair_paths[i][1])):
+                t = tight[path]
+                n = t.shape[0]
+                if n > down_cap:
+                    raise ValueError(
+                        f"{path}: {n} downsampled points exceed down_cap={down_cap}"
+                    )
+                pts[slot, :n] = t
+                masks[slot, :n] = True
+        return idxs, pts, masks, time.monotonic() - t0
+
+    q_: queue.Queue = queue.Queue(maxsize=1)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for idxs in windows:
+                if stop.is_set():
+                    return
+                q_.put(("ok", ingest(idxs)))
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q_.put(("err", e))
+            return
+        q_.put(("done", None))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, payload = q_.get()
+            if kind == "done":
+                return
+            if kind == "err":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
+        while t.is_alive():
+            try:
+                q_.get_nowait()
+            except queue.Empty:
+                t.join(timeout=0.1)
+
+
+@dataclasses.dataclass
+class StreamResult:
+    """Per-pair outputs + pipeline timing of a streamed manifest run."""
+
+    transforms: np.ndarray  # [P, 4, 4]
+    ransac_fitness: np.ndarray  # [P]
+    icp_rmse: np.ndarray  # [P]
+    bucket_of_pair: list[int]
+    window_pairs: list[int]  # pairs per window
+    window_done_s: list[float]  # wall clock at each window's resolution
+    total_seconds: float  # manifest start -> last resolve
+    fresh_pairs_per_sec: float  # whole manifest / total (incl. compiles)
+    steady_pairs_per_sec: float | None  # windows 2..N (first pays compiles)
+    ingest_seconds: list[float] = dataclasses.field(default_factory=list)
+    # host-side parse+voxel+pack wall time per window (fused path only) —
+    # the hardware-independent term of a PCIe-host throughput projection
+
+
+def stream_register_pairs(
+    pair_paths: list[tuple[str, str]],
+    config: PipelineConfig | None = None,
+    *,
+    window: int,
+    workers: int | None = None,
+    key: jax.Array | None = None,
+    down_cap: int | None = None,
+    bucket_multiple: int = 256,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+    icp_solves_per_nn: int = 2,
+    approx_score: bool = True,
+    rescue_restarts: int | None = None,
+    sample_mode: str = "roll",
+    fuse_device: bool = False,
+) -> StreamResult:
+    """Register a manifest of PLY pairs, streaming disk -> device -> result.
+
+    Args:
+      pair_paths: (source_path, target_path) per pair.
+      window: pairs per streaming window.  Large windows amortize the fixed
+        per-dispatch cost (~25-40 ms on the axon tunnel) over more pairs;
+        host memory is bounded by one window + one prefetched window.
+      down_cap: pinned downsampled capacity for the feature stage — pass the
+        expected bucket (e.g. 896 for 20k-point dental scans at voxel 0.3)
+        so every window hits one compiled feature program.  REQUIRED for
+        the fused path.
+      bucket_multiple / ransac_iterations / ...: registration work knobs,
+        as ``register_pairs_batched``.
+      fuse_device: run feature computation AND registration in ONE compiled
+        program per window (see ``_fused_ingest_register``) — uploads only
+        the downsampled points, never round-trips features through the
+        host.  ~50x less wire traffic per window; results are numerically
+        equivalent to the generic path but not bit-identical (different
+        program partitioning), and every pair runs at capacity
+        ``down_cap`` instead of its own bucket.
+
+    Returns:
+      StreamResult in manifest order with steady-state timing.
+    """
+    from tpu3dm.io.loader import iter_preprocessed_windows
+    from tpu3dm.registration.batch import launch_pairs_batched
+
+    if config is None:
+        config = PipelineConfig.with_voxel_size(0.3)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pairs = len(pair_paths)
+    all_keys = np.asarray(jax.random.split(key, max(n_pairs, 1)))
+    if fuse_device:
+        if down_cap is None:
+            raise ValueError("fuse_device requires down_cap")
+        return _stream_fused(
+            pair_paths, config, window=window, workers=workers,
+            all_keys=all_keys, down_cap=down_cap,
+            ransac_iterations=ransac_iterations,
+            icp_iterations=icp_iterations,
+            icp_solves_per_nn=icp_solves_per_nn,
+            approx_score=approx_score,
+            rescue_restarts=rescue_restarts,
+            sample_mode=sample_mode,
+        )
+
+    out_T = np.zeros((n_pairs, 4, 4), np.float32)
+    out_fit = np.zeros((n_pairs,), np.float32)
+    out_rmse = np.zeros((n_pairs,), np.float32)
+    bucket_of = [0] * n_pairs
+    window_pairs: list[int] = []
+    window_done_s: list[float] = []
+
+    reg_kw = dict(
+        bucket_multiple=bucket_multiple,
+        ransac_iterations=ransac_iterations,
+        icp_iterations=icp_iterations,
+        icp_solves_per_nn=icp_solves_per_nn,
+        approx_score=approx_score,
+        rescue_restarts=rescue_restarts,
+        sample_mode=sample_mode,
+    )
+
+    t0 = time.monotonic()
+    prev: tuple[list[int], object] | None = None  # (idxs, PendingBatch)
+
+    def resolve(prev_item) -> None:
+        idxs, pending = prev_item
+        res = pending.resolve()
+        for j, i in enumerate(idxs):
+            out_T[i] = res.transforms[j]
+            out_fit[i] = res.ransac_fitness[j]
+            out_rmse[i] = res.icp_rmse[j]
+            bucket_of[i] = res.bucket_of_pair[j]
+        window_pairs.append(len(idxs))
+        window_done_s.append(time.monotonic() - t0)
+
+    for idxs, procs in iter_preprocessed_windows(
+        pair_paths, config.preprocess, window=window, workers=workers,
+        full_normals=False, down_cap=down_cap,
+    ):
+        pairs = [(procs[pair_paths[i][0]], procs[pair_paths[i][1]]) for i in idxs]
+        pending = launch_pairs_batched(
+            pairs, config, pair_keys=all_keys[idxs], **reg_kw
+        )
+        if prev is not None:
+            resolve(prev)
+        prev = (idxs, pending)
+    if prev is not None:
+        resolve(prev)
+
+    total = window_done_s[-1] if window_done_s else 0.0
+    steady = None
+    if len(window_done_s) >= 2:
+        steady_pairs = sum(window_pairs[1:])
+        steady_time = window_done_s[-1] - window_done_s[0]
+        if steady_time > 0:
+            steady = steady_pairs / steady_time
+    logger.info(
+        "streamed %d pairs in %.2fs (%.1f fresh pairs/s; steady %.1f over %d windows)",
+        n_pairs, total, n_pairs / total if total else 0.0,
+        steady or 0.0, len(window_pairs),
+    )
+    return StreamResult(
+        transforms=out_T,
+        ransac_fitness=out_fit,
+        icp_rmse=out_rmse,
+        bucket_of_pair=bucket_of,
+        window_pairs=window_pairs,
+        window_done_s=window_done_s,
+        total_seconds=total,
+        fresh_pairs_per_sec=(n_pairs / total) if total else 0.0,
+        steady_pairs_per_sec=steady,
+    )
+
+
+def _stream_fused(
+    pair_paths: list[tuple[str, str]],
+    config: PipelineConfig,
+    *,
+    window: int,
+    workers: int | None,
+    all_keys: np.ndarray,
+    down_cap: int,
+    ransac_iterations: int,
+    icp_iterations: int,
+    icp_solves_per_nn: int,
+    approx_score: bool,
+    rescue_restarts: int | None,
+    sample_mode: str,
+) -> StreamResult:
+    """Fused-dispatch streaming consumer (see ``_fused_ingest_register``)."""
+    import jax.numpy as jnp
+
+    pp = config.preprocess
+    rs = config.ransac
+    fn = _fused_ingest_register(
+        pp.normal_max_nn,
+        pp.fpfh_max_nn,
+        pp.normal_radius <= pp.fpfh_radius,
+        ransac_iterations,
+        icp_iterations,
+        icp_solves_per_nn,
+        approx_score,
+        rs.rescue_restarts if rescue_restarts is None else rescue_restarts,
+        rs.score_subset,
+        rs.rescore_top,
+        sample_mode,
+    )
+    nr = jnp.float32(pp.normal_radius)
+    fr = jnp.float32(pp.fpfh_radius)
+    dt = jnp.float32(rs.dist_thresh)
+    it = jnp.float32(config.icp.dist_thresh)
+
+    n_pairs = len(pair_paths)
+    out_T = np.zeros((n_pairs, 4, 4), np.float32)
+    out_fit = np.zeros((n_pairs,), np.float32)
+    out_rmse = np.zeros((n_pairs,), np.float32)
+    window_pairs: list[int] = []
+    window_done_s: list[float] = []
+
+    t0 = time.monotonic()
+    prev = None  # (idxs, (T, fit, rmse) device arrays)
+
+    def resolve(prev_item) -> None:
+        idxs, out = prev_item
+        T = np.asarray(out[0])
+        fit = np.asarray(out[1])
+        rmse = np.asarray(out[2])
+        for j, i in enumerate(idxs):
+            out_T[i], out_fit[i], out_rmse[i] = T[j], fit[j], rmse[j]
+        window_pairs.append(len(idxs))
+        window_done_s.append(time.monotonic() - t0)
+
+    ingest_seconds: list[float] = []
+    for idxs, pts, masks, ingest_s in _iter_host_windows(
+        pair_paths, pp.voxel_size, window=window, workers=workers,
+        down_cap=down_cap,
+    ):
+        ingest_seconds.append(ingest_s)
+        w = len(idxs)
+        if w < window:
+            # Pad the final window to the compiled shape (sources stay in
+            # the first half): replicate pair 0, slice results on resolve.
+            pad_pts = np.zeros((2 * window, down_cap, 3), np.float32)
+            pad_m = np.zeros((2 * window, down_cap), bool)
+            pad_pts[:w], pad_m[:w] = pts[:w], masks[:w]
+            pad_pts[window:window + w], pad_m[window:window + w] = pts[w:], masks[w:]
+            pad_pts[w:window] = pts[:1]
+            pad_m[w:window] = masks[:1]
+            pad_pts[window + w:] = pts[w:w + 1]
+            pad_m[window + w:] = masks[w:w + 1]
+            pts, masks = pad_pts, pad_m
+        keys = all_keys[idxs]
+        if w < window:
+            keys = np.concatenate(
+                [keys, np.repeat(keys[:1], window - w, axis=0)]
+            )
+        out = fn(
+            jnp.asarray(pts), jnp.asarray(masks), jnp.asarray(keys),
+            nr, fr, dt, it,
+        )
+        if prev is not None:
+            resolve(prev)
+        prev = (idxs, out)
+    if prev is not None:
+        resolve(prev)
+
+    total = window_done_s[-1] if window_done_s else 0.0
+    steady = None
+    if len(window_done_s) >= 2:
+        steady_time = window_done_s[-1] - window_done_s[0]
+        if steady_time > 0:
+            steady = sum(window_pairs[1:]) / steady_time
+    logger.info(
+        "fused-streamed %d pairs in %.2fs (%.1f fresh pairs/s; steady %.1f)",
+        n_pairs, total, n_pairs / total if total else 0.0, steady or 0.0,
+    )
+    return StreamResult(
+        transforms=out_T,
+        ransac_fitness=out_fit,
+        icp_rmse=out_rmse,
+        bucket_of_pair=[down_cap] * n_pairs,
+        window_pairs=window_pairs,
+        window_done_s=window_done_s,
+        total_seconds=total,
+        fresh_pairs_per_sec=(n_pairs / total) if total else 0.0,
+        steady_pairs_per_sec=steady,
+        ingest_seconds=ingest_seconds,
+    )
+
+
+def make_stream_manifest(
+    out_dir,
+    n_pairs: int,
+    *,
+    n_points: int = 20_000,
+    sigma: float = 0.01,
+    seed0: int = 0,
+) -> tuple[list[tuple[str, str]], list[np.ndarray], list[np.ndarray]]:
+    """Write a synthetic fresh-cloud manifest to disk for stream benchmarks.
+
+    Returns (pair_paths, true_transforms, source_moments) where
+    source_moments[i] = (mu [3], M2 [3,3]) of the source cloud — the
+    closed-form per-pair alignment-RMSE inputs (bench.py's moments trick),
+    so gating does not require re-reading the files.
+    """
+    from pathlib import Path
+
+    from tpu3dm.io.ply import write_ply
+    from tpu3dm.io.synthetic import make_benchmark_pair
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pair_paths: list[tuple[str, str]] = []
+    trues: list[np.ndarray] = []
+    moments: list[tuple[np.ndarray, np.ndarray]] = []
+    for i in range(n_pairs):
+        s, t, T = make_benchmark_pair(n_points, seed=seed0 + i, sigma=sigma)
+        sp = out_dir / f"src_{seed0 + i:05d}.ply"
+        tp = out_dir / f"tgt_{seed0 + i:05d}.ply"
+        write_ply(sp, s.astype(np.float32))
+        write_ply(tp, t.astype(np.float32))
+        pair_paths.append((str(sp), str(tp)))
+        trues.append(T)
+        moments.append((s.mean(axis=0), s.T @ s / s.shape[0]))
+    return pair_paths, trues, moments
+
+
+def stream_quality(
+    result: StreamResult,
+    trues: list[np.ndarray],
+    moments: list[tuple[np.ndarray, np.ndarray]],
+) -> dict:
+    """Worst-pair quality gate over a streamed run (closed-form RMSE)."""
+    T_all = np.asarray(result.transforms)
+    T_true = np.stack(trues)
+    M = T_all[:, :3, :3] @ np.swapaxes(T_true[:, :3, :3], 1, 2)
+    tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot_errs = np.degrees(np.arccos(tr))
+    mus = np.stack([m[0] for m in moments])
+    M2s = np.stack([m[1] for m in moments])
+    A = T_all[:, :3, :3] - T_true[:, :3, :3]
+    b = T_all[:, :3, 3] - T_true[:, :3, 3]
+    rmse_sq = (
+        np.einsum("bij,bjk,bik->b", A, M2s, A)
+        + 2.0 * np.einsum("bi,bij,bj->b", b, A, mus)
+        + (b * b).sum(1)
+    )
+    rmses = np.sqrt(np.maximum(rmse_sq, 0.0))
+    return {
+        "rot_err_deg_worst_pair": float(rot_errs.max()),
+        "align_rmse_worst_pair": float(rmses.max()),
+        "fitness_min": float(np.asarray(result.ransac_fitness).min()),
+        "quality_ok": bool(rot_errs.max() < 2.0 and rmses.max() < 0.1),
+    }
