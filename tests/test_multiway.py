@@ -219,3 +219,120 @@ def test_pose_graph_robust_rejects_gross_outlier_edge():
     assert err_ls > 5.0, err_ls
     assert err_gm < 1.5, err_gm
     assert err_gm < err_ls / 5
+
+
+def test_pose_graph_edgewise_matches_dense():
+    """The edgewise (sparse-assembly) solver must match the full-graph
+    jacfwd solver — plain least squares AND the robust loss."""
+    from tpu3dm.multiway.posegraph import optimize_pose_graph_edgewise
+
+    n = 12
+    poses_true = np.stack(
+        [np.eye(4, dtype=np.float32)] + [_rand_pose(40 + i, 0.4) for i in range(1, n)]
+    )
+    edges = default_edges(n) + [(3, 9), (1, 7)]  # extra loop closures
+    T_meas = _edge_measurements(poses_true, edges, noise=0.02, seed=5)
+    e_arr = jnp.asarray(np.asarray(edges, np.int32))
+    w_arr = jnp.asarray(np.linspace(0.5, 1.0, len(edges)).astype(np.float32))
+
+    # Least squares is convex: both solvers must converge to the SAME
+    # optimum (measured: 3e-4 max pose diff at 80 iterations; the gap
+    # keeps shrinking with iterations, i.e. same optimum, different paths).
+    dense = np.asarray(optimize_pose_graph(
+        jnp.asarray(T_meas), e_arr, w_arr, n_nodes=n, iterations=80,
+    ))
+    edgewise = np.asarray(optimize_pose_graph_edgewise(
+        jnp.asarray(T_meas), e_arr, w_arr, n_nodes=n, iterations=80,
+    ))
+    np.testing.assert_allclose(edgewise, dense, atol=1e-3)
+
+    # The Geman-McClure IRLS objective is NON-convex; the two iteration
+    # paths (LU full-graph vs Cholesky blockwise) may settle in nearby
+    # local optima (measured: ~8e-3 pose diff).  Behavioral parity: both
+    # must land within the same small neighbourhood and at the noise floor.
+    dense_r = np.asarray(optimize_pose_graph(
+        jnp.asarray(T_meas), e_arr, w_arr, n_nodes=n, iterations=30,
+        robust_delta=0.1,
+    ))
+    edgewise_r = np.asarray(optimize_pose_graph_edgewise(
+        jnp.asarray(T_meas), e_arr, w_arr, n_nodes=n, iterations=30,
+        robust_delta=0.1,
+    ))
+    np.testing.assert_allclose(edgewise_r, dense_r, atol=3e-2)
+    for poses in (dense_r, edgewise_r):
+        for k in range(n):
+            M = poses[k][:3, :3] @ poses_true[k][:3, :3].T
+            rot = np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+            assert rot < 3.0, rot
+
+
+def test_pose_graph_edgewise_scales_past_dense_threshold():
+    """N=128 (auto-selects edgewise): a noisy loop graph is solved to the
+    noise floor — the config-5 scale the dense jacfwd path could not own."""
+    from tpu3dm.multiway.posegraph import _solve_pose_graph
+
+    n = 128
+    poses_true = np.stack(
+        [np.eye(4, dtype=np.float32)]
+        + [_rand_pose(100 + i, 0.3) for i in range(1, n)]
+    )
+    edges = default_edges(n) + [(i, (i + n // 2) % n) for i in range(0, n, 16)]
+    T_meas = _edge_measurements(poses_true, edges, noise=0.005, seed=9)
+    poses = np.asarray(_solve_pose_graph(
+        jnp.asarray(T_meas),
+        jnp.asarray(np.asarray(edges, np.int32)),
+        jnp.ones(len(edges)),
+        n_nodes=n,
+        iterations=25,
+    ))
+
+    def rot_err(Ta, Tb):
+        M = Ta[:3, :3] @ Tb[:3, :3].T
+        return np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+
+    errs = [rot_err(poses[k], poses_true[k]) for k in range(n)]
+    # Dead-reckoning baseline: compose the chain measurements only.
+    # T_meas[k] (edge k -> k+1) satisfies P_{k+1} = P_k @ T_k^{-1}.
+    dead = [np.eye(4, dtype=np.float32)]
+    for k in range(n - 1):
+        dead.append(dead[-1] @ np.linalg.inv(T_meas[k]))
+    dead_errs = [rot_err(dead[k], poses_true[k]) for k in range(n)]
+    # The solve must distribute the noise (loop closures every 16 nodes
+    # bound the random walk) and beat dead-reckoning decisively.
+    assert max(errs) < 2.0, (max(errs), max(dead_errs))
+    assert max(errs) < max(dead_errs) / 2.0, (max(errs), max(dead_errs))
+
+
+def test_multiway_batched_mesh_fanout_matches_unsharded():
+    """register_multiway_batched(mesh=...) — the multi-host pairwise
+    fan-out — must reproduce the unsharded poses on the 8-device CPU mesh
+    (BASELINE config 5's sharded half)."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.multiway.posegraph import register_multiway_batched
+    from tpu3dm.parallel.mesh import make_mesh
+    from tpu3dm.preprocess.pipeline import preprocess_points
+
+    base = dental_arch_cloud(6000, seed=0)
+    n = 8  # chain + loop = 8 edges -> one per mesh device
+    poses_true = [np.eye(4)] + [_rand_pose(20 + i, 0.15) for i in range(1, n)]
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    clouds = []
+    for k in range(n):
+        Pinv = np.linalg.inv(poses_true[k])
+        pts = base @ Pinv[:3, :3].T + Pinv[:3, 3]
+        clouds.append(preprocess_points(pts, cfg.preprocess))
+
+    kw = dict(ransac_iterations=512, icp_iterations=6)
+    plain = register_multiway_batched(clouds, cfg, key=jax.random.PRNGKey(3), **kw)
+    mesh = make_mesh()  # all simulated devices on the pair axis
+    sharded = register_multiway_batched(
+        clouds, cfg, key=jax.random.PRNGKey(3), mesh=mesh, **kw
+    )
+    # Same keys, same program semantics: identical edges; the pose solve
+    # amplifies the sharded dispatch's ~1e-5 numeric differences slightly.
+    np.testing.assert_allclose(
+        sharded.edge_transforms, plain.edge_transforms, atol=1e-5
+    )
+    np.testing.assert_allclose(sharded.poses, plain.poses, atol=1e-3)
+    assert (sharded.edge_fitness > 0.3).all()
