@@ -289,3 +289,35 @@ def test_rescue_does_not_flip_partial_overlap():
         assert _rot_err_deg(res.transforms[i], T_true) < 2.0, (
             i, _rot_err_deg(res.transforms[i], T_true)
         )
+
+
+def test_rescue_transfers_to_plate_family():
+    """The rescue election margins (fused.RESCUE_TIE_RATIO /
+    RESCUE_OVERRIDE_MARGIN) were calibrated on dental arches; on the CAD
+    plate family (large planes + drilled holes — a different alias
+    structure) the rescue must still never do WORSE than the plain path,
+    and both must recover full-overlap poses."""
+    import jax
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    seeds = 4
+    for overlap in (1.0, 0.8):
+        src, tgt, T_true = make_benchmark_pair(
+            6000, seed=11, overlap=overlap, sigma=0.01, family="plate"
+        )
+        ps, pt = preprocess_points_batch([src, tgt], cfg.preprocess,
+                                         full_normals=False)
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(77), seeds))
+        outs = {}
+        for tag, rr in (("plain", 0), ("rescue", 4)):
+            res = register_pairs_batched(
+                [(ps, pt)] * seeds, cfg, pair_keys=keys,
+                ransac_iterations=2048, rescue_restarts=rr,
+            )
+            M = res.transforms[:, :3, :3] @ T_true[:3, :3].T
+            tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
+            outs[tag] = np.degrees(np.arccos(tr))
+        ok_plain = (outs["plain"] < 2.0).sum()
+        ok_rescue = (outs["rescue"] < 2.0).sum()
+        assert ok_rescue >= ok_plain, (overlap, outs)
+        assert ok_rescue == seeds, (overlap, outs["rescue"])

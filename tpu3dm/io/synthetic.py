@@ -86,6 +86,89 @@ def dental_arch_cloud(
     return pts
 
 
+def plate_with_holes_cloud(
+    n: int = 20_000,
+    *,
+    seed: int = 0,
+    noise: float = 0.0,
+) -> np.ndarray:
+    """CAD-like industrial part: a plate with drilled holes and a boss.
+
+    Second benchmark geometry family (distinct from the dental arch): large
+    planar regions with sharp cylindrical features — the FPFH/rescue
+    regime of machined parts rather than organic surfaces.  Plate 6 x 4
+    units, thickness 0.4; three holes of different radii placed
+    asymmetrically; one raised cylindrical boss.  Same overall scale as
+    the arch so voxel_size=0.3 produces comparable downsampled sizes.
+
+    Used to validate the alias-rescue election margins
+    (registration/fused.py RESCUE_TIE_RATIO / RESCUE_OVERRIDE_MARGIN) on a
+    shape class they were NOT calibrated on.
+    """
+    rng = np.random.default_rng(seed)
+    lx, ly, th = 6.0, 4.0, 0.4
+    holes = [(1.5, 1.2, 0.6), (4.5, 2.8, 0.9), (3.0, 1.0, 0.35)]
+    boss = (2.2, 2.9, 0.7, 0.5)  # cx, cy, r, height
+
+    def in_hole(x, y):
+        keep = np.zeros_like(x, bool)
+        for cx, cy, r in holes:
+            keep |= (x - cx) ** 2 + (y - cy) ** 2 < r**2
+        return keep
+
+    parts = []
+    # Top + bottom faces (~60% of points), holes rejected.
+    n_face = int(n * 0.6)
+    x = rng.uniform(0, lx, n_face * 2)
+    y = rng.uniform(0, ly, n_face * 2)
+    ok = ~in_hole(x, y)
+    x, y = x[ok][:n_face], y[ok][:n_face]
+    z = np.where(rng.random(x.shape[0]) < 0.5, 0.0, th)
+    parts.append(np.stack([x, y, z], axis=1))
+    # Hole walls (~15%).
+    n_walls = int(n * 0.15)
+    per = max(1, n_walls // len(holes))
+    for cx, cy, r in holes:
+        a = rng.uniform(0, 2 * np.pi, per)
+        hz = rng.uniform(0, th, per)
+        parts.append(np.stack([cx + r * np.cos(a), cy + r * np.sin(a), hz], axis=1))
+    # Outer side walls (~10%).
+    n_side = int(n * 0.10)
+    t = rng.uniform(0, 2 * (lx + ly), n_side)
+    sz = rng.uniform(0, th, n_side)
+    sx = np.empty(n_side)
+    sy = np.empty(n_side)
+    m0 = t < lx
+    m1 = (t >= lx) & (t < lx + ly)
+    m2 = (t >= lx + ly) & (t < 2 * lx + ly)
+    m3 = t >= 2 * lx + ly
+    sx[m0], sy[m0] = t[m0], 0.0
+    sx[m1], sy[m1] = lx, t[m1] - lx
+    sx[m2], sy[m2] = 2 * lx + ly - t[m2], ly
+    sx[m3], sy[m3] = 0.0, 2 * (lx + ly) - t[m3]
+    parts.append(np.stack([sx, sy, sz], axis=1))
+    # Boss: cylinder wall + cap (~15%).
+    n_boss = n - sum(p.shape[0] for p in parts)
+    cx, cy, r, h = boss
+    n_wall = n_boss // 2
+    a = rng.uniform(0, 2 * np.pi, n_wall)
+    bz = rng.uniform(th, th + h, n_wall)
+    parts.append(np.stack([cx + r * np.cos(a), cy + r * np.sin(a), bz], axis=1))
+    n_cap = n_boss - n_wall
+    rr = r * np.sqrt(rng.random(n_cap))
+    a = rng.uniform(0, 2 * np.pi, n_cap)
+    parts.append(
+        np.stack([cx + rr * np.cos(a), cy + rr * np.sin(a),
+                  np.full(n_cap, th + h)], axis=1)
+    )
+    pts = np.concatenate(parts)[:n]
+    # Center so random transforms rotate about the part, like the arch.
+    pts = pts - pts.mean(axis=0)
+    if noise > 0:
+        pts += noise * rng.standard_normal(pts.shape)
+    return pts
+
+
 def crop_fraction(points: np.ndarray, fraction: float, axis: int = 0) -> np.ndarray:
     """Axis-aligned crop keeping the lower ``fraction`` of points along
     ``axis`` — the headless analog of the reference's interactive trim
@@ -102,16 +185,24 @@ def make_benchmark_pair(
     seed: int = 0,
     overlap: float = 1.0,
     sigma: float = 0.0,
+    family: str = "arch",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(source_points, target_points, true_T) benchmark fixture.
 
-    Source = arch cloud; target = (optionally cropped) copy transformed by a
-    random rigid T of the reference's test magnitude (±30 deg, ±0.1 trans —
+    Source = arch cloud (``family="arch"``, the reference's dental-scan
+    shape class) or CAD plate (``family="plate"``, plate_with_holes_cloud);
+    target = (optionally cropped) copy transformed by a random rigid T of
+    the reference's test magnitude (±30 deg, ±0.1 trans —
     _visualize_matcher.py:300-325), with optional Gaussian sensor noise.
     Registration should recover ``true_T`` (target <- source).
     """
     rng = np.random.default_rng(seed)
-    src = dental_arch_cloud(n, seed=seed)
+    if family == "arch":
+        src = dental_arch_cloud(n, seed=seed)
+    elif family == "plate":
+        src = plate_with_holes_cloud(n, seed=seed)
+    else:
+        raise ValueError(f"unknown benchmark family: {family!r}")
     tgt = src.copy()
     if overlap < 1.0:
         tgt = crop_fraction(tgt, overlap, axis=0)
