@@ -209,6 +209,7 @@ def test_cli_info(capsys):
     assert out["default_matmul_precision"] == "highest"
 
 
+@pytest.mark.slow
 def test_overlap_benchmark_smoke(tmp_path):
     """Overlap sweep runs end-to-end; full overlap must register reliably."""
     from tpu3dm.apps.benchmark import run_overlap_benchmark

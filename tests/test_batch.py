@@ -127,6 +127,7 @@ class TestCheckpointResume:
             assert _rot_err_deg(res2.transforms[i], T_true) < 2.0, i
 
 
+@pytest.mark.slow
 def test_batched_alias_rescue_symmetric_arch():
     """The 60-deg arch-alias regression through the BATCHED path (VERDICT r1
     item 4): rescue_restarts>0 runs two-mode RANSAC x restarts + on-device
@@ -159,6 +160,7 @@ def test_batched_alias_rescue_symmetric_arch():
     assert rot_err < 2.0, rot_err
 
 
+@pytest.mark.slow
 def test_rescue_elects_true_pose_over_planted_alias():
     """Deterministic rescue unit test: correspondences where an alias pose
     OUT-VOTES the truth (60% support a 60-deg rotated alias, 40% the true
@@ -233,6 +235,7 @@ def test_rescue_elects_true_pose_over_planted_alias():
     assert true_err < 2.0, f"rescue failed: rot_err={true_err}"
 
 
+@pytest.mark.slow
 def test_shared_target_matches_pair_batched(mixed_pairs):
     """register_sources_to_target (device-resident target) must reproduce
     register_pairs_batched for the same keys, across capacity buckets."""
@@ -265,6 +268,7 @@ def test_shared_target_matches_pair_batched(mixed_pairs):
     )
 
 
+@pytest.mark.slow
 def test_rescue_does_not_flip_partial_overlap():
     """Partial-overlap regression: the alias rescue must not overturn a
     confident plain election.  At overlap 0.6 on the quasi-periodic arch, a
@@ -291,6 +295,7 @@ def test_rescue_does_not_flip_partial_overlap():
         )
 
 
+@pytest.mark.slow
 def test_rescue_transfers_to_plate_family():
     """The rescue election margins (fused.RESCUE_TIE_RATIO /
     RESCUE_OVERRIDE_MARGIN) were calibrated on dental arches; on the CAD

@@ -8,7 +8,14 @@ from pathlib import Path
 
 import pytest
 
-EXAMPLES = sorted((Path(__file__).parent.parent / "examples").glob("*.py"))
+# Measured CPU-mesh wall times (full-suite --durations, round 4): the
+# sharded-mesh and large-cloud examples dominate the whole suite.
+_SLOW = {"05_sharded_mesh.py", "04_large_cloud.py", "01_register_pair.py",
+         "06_serving.py"}
+EXAMPLES = [
+    pytest.param(p, marks=[pytest.mark.slow] if p.name in _SLOW else [])
+    for p in sorted((Path(__file__).parent.parent / "examples").glob("*.py"))
+]
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)

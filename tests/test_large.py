@@ -157,6 +157,7 @@ class TestLargeICP:
         assert float(fine.fitness) > 0.9
 
 
+@pytest.mark.slow
 def test_register_large_point_to_plane_donor_normals():
     """Full-res point-to-plane via donor normals beats point-to-point in
     convergence (fewer iterations) at equal-or-better alignment."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu3dm.core import se3
 from tpu3dm.multiway.posegraph import default_edges, optimize_pose_graph
@@ -85,6 +86,7 @@ def test_pose_graph_distributes_loop_error():
     assert err(poses) < 3.0
 
 
+@pytest.mark.slow
 def test_multiway_registration_synthetic():
     """4 jittered copies of a cloud align into a consistent frame."""
     from tpu3dm.core.config import PipelineConfig
@@ -176,6 +178,7 @@ def test_multiway_batched_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(out1.edge_transforms, out2.edge_transforms, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pose_graph_robust_rejects_gross_outlier_edge():
     """One grossly wrong edge measurement (e.g. a surviving RANSAC alias):
     the Geman-McClure IRLS solve (Open3D line-process analog) recovers
@@ -221,6 +224,7 @@ def test_pose_graph_robust_rejects_gross_outlier_edge():
     assert err_gm < err_ls / 5
 
 
+@pytest.mark.slow
 def test_pose_graph_edgewise_matches_dense():
     """The edgewise (sparse-assembly) solver must match the full-graph
     jacfwd solver — plain least squares AND the robust loss."""
@@ -303,6 +307,7 @@ def test_pose_graph_edgewise_scales_past_dense_threshold():
     assert max(errs) < max(dead_errs) / 2.0, (max(errs), max(dead_errs))
 
 
+@pytest.mark.slow
 def test_multiway_batched_mesh_fanout_matches_unsharded():
     """register_multiway_batched(mesh=...) — the multi-host pairwise
     fan-out — must reproduce the unsharded poses on the 8-device CPU mesh

@@ -69,6 +69,7 @@ def _corres_problem(n, outlier_frac, seed):
     return p, q.astype(np.float32), T
 
 
+@pytest.mark.slow
 def test_sharded_ransac_recovers(mesh8):
     p, q, T = _corres_problem(400, 0.4, seed=2)
     res = sharded_ransac(

@@ -245,6 +245,7 @@ def scan_stream(cfg):
     return procs[:-1], procs[-1], trues
 
 
+@pytest.mark.slow
 def test_engine_shared_target_path(cfg, scan_stream):
     """Requests sharing one target object route through the device-resident
     path, produce results matching the general pair-batched path, and the

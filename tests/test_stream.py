@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from tpu3dm.core.config import PipelineConfig
 from tpu3dm.registration.batch import register_pairs_batched
@@ -50,6 +51,7 @@ def test_stream_matches_batched_and_is_window_invariant(tmp_path):
     np.testing.assert_allclose(res2.transforms, direct.transforms, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_fused_device_path(tmp_path):
     """The fused ingest+register dispatch (one program per window) agrees
     with the generic streamed path and passes the quality gate, including
@@ -77,6 +79,7 @@ def test_stream_fused_device_path(tmp_path):
         np.testing.assert_allclose(Tf[:3, 3], Tg[:3, 3], atol=0.02)
 
 
+@pytest.mark.slow
 def test_stream_benchmark_smoke(tmp_path, monkeypatch):
     """The --stream benchmark phase runs end-to-end, writes the artifact,
     and gates quality."""
