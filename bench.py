@@ -396,6 +396,15 @@ def main() -> None:
     if time.time() - t_start > 520.0:
         log("skipping fresh-stream phase (time budget)")
         return _emit(locals())
+    # Free the earlier phases' device buffers: the tiled distinct batch +
+    # bucketed args hold ~1-2 GB of HBM, and the fused stream program's
+    # peak (top-k scan + RANSAC scoring for a 256-cloud window) OOMs v5e
+    # with them resident (measured this round).
+    try:
+        del sp_, sf_, sm_, sn_, tp_, tf_, tm_, tn_, out_d, dkeys, out
+        del args, outb, bkeys
+    except NameError:
+        pass
     try:
         _fresh_stream_phase(cfg)
     except Exception as e:  # the headline JSON must still print
@@ -413,9 +422,6 @@ def _fresh_stream_phase(cfg) -> None:
     import shutil
     import tempfile
 
-    import jax
-    import jax.numpy as jnp
-
     from tpu3dm.registration.stream import (
         make_stream_manifest,
         stream_quality,
@@ -431,6 +437,10 @@ def _fresh_stream_phase(cfg) -> None:
             tmp, n_pairs, n_points=_N_POINTS, sigma=0.01
         )
         log(f"stream manifest: {2 * n_pairs} fresh PLYs written in {time.time()-t0:.1f}s")
+        # rescue_restarts=2 is the production robustness config: across
+        # hundreds of arbitrary seeds the occasional arch alias IS elected
+        # without it (measured: 1 alias in 384 fresh pairs at rescue=0).
+        rescue = int(_os.environ.get("TPU3DM_BENCH_STREAM_RESCUE", 2))
         res = stream_register_pairs(
             pair_paths, cfg, window=window, down_cap=down_cap,
             fuse_device=True,
@@ -438,42 +448,24 @@ def _fresh_stream_phase(cfg) -> None:
             icp_iterations=ICP_ITERS,
             icp_solves_per_nn=ICP_SOLVES_PER_NN,
             approx_score=APPROX_SCORE,
+            rescue_restarts=rescue,
         )
         q = stream_quality(res, trues, moments)
-        # Device-only rate at the same compiled program: re-dispatch one
-        # window with device-resident inputs (no H2D in the timed loop).
-        # Host-ingest rate comes from the producer's per-window timing; a
-        # PCIe host overlaps the two, so its projection is min(rates)
-        # (PCIe upload of 2.75 MB/window is ~0.2 ms — negligible).
-        from tpu3dm.registration.stream import _fused_ingest_register
+        # Device-only rate at the same compiled program (device-resident
+        # inputs, no H2D in the timed loop).  Host-ingest rate comes from
+        # the producer's per-window timing; a PCIe host overlaps the two,
+        # so its projection is min(rates) (PCIe upload of 2.75 MB/window
+        # is ~0.2 ms — negligible).
+        from tpu3dm.registration.stream import measure_fused_device_rate
 
-        pp, rs = cfg.preprocess, cfg.ransac
-        fn = _fused_ingest_register(
-            pp.normal_max_nn, pp.fpfh_max_nn,
-            pp.normal_radius <= pp.fpfh_radius,
-            RANSAC_HYPOTHESES, ICP_ITERS, ICP_SOLVES_PER_NN, APPROX_SCORE,
-            rs.rescue_restarts, rs.score_subset, rs.rescore_top, "roll",
+        device_rate = measure_fused_device_rate(
+            cfg, window=window, down_cap=down_cap,
+            ransac_iterations=RANSAC_HYPOTHESES,
+            icp_iterations=ICP_ITERS,
+            icp_solves_per_nn=ICP_SOLVES_PER_NN,
+            approx_score=APPROX_SCORE,
+            rescue_restarts=rescue,
         )
-        rng0 = np.random.default_rng(0)
-        pts_d = jax.device_put(
-            rng0.normal(size=(2 * window, down_cap, 3)).astype(np.float32) * 0.5
-        )
-        msk_d = jax.device_put(np.ones((2 * window, down_cap), bool))
-        keys_d = jax.device_put(
-            np.asarray(jax.random.split(jax.random.PRNGKey(3), window))
-        )
-        args = (
-            pts_d, msk_d, keys_d,
-            jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
-            jnp.float32(rs.dist_thresh), jnp.float32(cfg.icp.dist_thresh),
-        )
-        np.asarray(fn(*args)[1])  # warm (program already compiled)
-        dtimes = []
-        for _ in range(3):
-            t0 = time.time()
-            np.asarray(fn(*args)[1])
-            dtimes.append(time.time() - t0)
-        device_rate = window / float(np.median(dtimes))
         ingest_med = float(np.median(res.ingest_seconds)) if res.ingest_seconds else None
         host_rate = (window / ingest_med) if ingest_med else None
         pcie_proj = min(device_rate, host_rate) if host_rate else device_rate
@@ -494,7 +486,9 @@ def _fresh_stream_phase(cfg) -> None:
             "fresh_pairs_per_sec_pcie_projected": round(pcie_proj, 2),
             "fresh_rot_err_deg_worst_pair": round(q["rot_err_deg_worst_pair"], 3),
             "fresh_rmse_worst_pair": round(q["align_rmse_worst_pair"], 4),
+            "fresh_pairs_over_2deg": q["pairs_over_2deg"],
             "fresh_quality_ok": q["quality_ok"],
+            "fresh_rescue_restarts": rescue,
             "fresh_manifest_pairs": n_pairs,
             "fresh_window": window,
         }

@@ -230,6 +230,24 @@ class TestNnTopk:
         assert d2.shape == (10, 5)  # clamped to target count
         assert bool(jnp.all(valid))
 
+    def test_single_chunk_fast_path_matches_scan(self):
+        """The nb==1 fast path (no scan/buffer-concat) must agree with the
+        chunked scan form exactly, including radius masking."""
+        from tpu3dm.ops.topk import nn_topk
+
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(80, 3)).astype(np.float32)
+        t = rng.normal(size=(300, 3)).astype(np.float32)
+        fast = nn_topk(jnp.asarray(q), jnp.asarray(t), k=12, radius=0.8)
+        scan = nn_topk(jnp.asarray(q), jnp.asarray(t), k=12, radius=0.8, chunk=64)
+        np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(scan[0]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fast[2]), np.asarray(scan[2]))
+        mism = np.asarray(fast[1]) != np.asarray(scan[1])
+        if mism.any():  # only at float-tie boundaries
+            np.testing.assert_allclose(
+                np.asarray(fast[0])[mism], np.asarray(scan[0])[mism], atol=1e-6
+            )
+
 
 def test_nn_mutual_approx_matches_exact_on_separated_features():
     """bf16 feature matmul (approx=True) picks the same mutual pairs when

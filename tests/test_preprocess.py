@@ -198,3 +198,73 @@ def test_shared_knn_scan_matches_separate_capped():
     d = np.abs(np.asarray(shared.features) - np.asarray(ref.features))
     assert (d > 0.35).mean() < 0.005, f"{(d > 0.35).sum()} entries off"
     assert d.mean() < 0.02
+
+
+def test_dense_features_match_slot_path():
+    """The dense (gather-free) capped normals+FPFH formulation
+    (preprocess/dense.py) matches the slot-based path on tie-free clouds:
+    same neighbour sets, same histograms (up to fp reassociation)."""
+    import jax.numpy as jnp
+
+    from tpu3dm.core.cloud import from_numpy
+    from tpu3dm.core.config import PreprocessConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.preprocess.dense import down_features_dense
+    from tpu3dm.preprocess.pipeline import down_features
+    from tpu3dm.preprocess.voxel import voxel_downsample_host
+
+    pp = PreprocessConfig()
+    raw = dental_arch_cloud(4000, seed=3)
+    down = voxel_downsample_host(raw, pp.voxel_size)
+    m = np.asarray(down.mask)
+    pc = from_numpy(np.asarray(down.points)[m], capacity=768)
+
+    slot = down_features(
+        pc, jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
+        normal_max_nn=pp.normal_max_nn, fpfh_max_nn=pp.fpfh_max_nn,
+        share_knn=True,
+    )
+    dense = down_features_dense(
+        pc, jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
+        normal_max_nn=pp.normal_max_nn, fpfh_max_nn=pp.fpfh_max_nn,
+    )
+    msk = np.asarray(pc.mask)
+    n_slot = np.asarray(slot.normals)[msk]
+    n_dense = np.asarray(dense.normals)[msk]
+    # Normals agree up to the fp32 moment-cancellation wobble (~1e-3 rad).
+    dots = np.abs((n_slot * n_dense).sum(axis=1))
+    assert dots.min() > 0.999, dots.min()
+    f_slot = np.asarray(slot.features)[msk]
+    f_dense = np.asarray(dense.features)[msk]
+    # Histograms: a per-point 100-normalized 33-vector; boundary pairs can
+    # land one bin over due to the normal wobble, so compare in L1 per
+    # point (scale 200: self-SPFH 100 + accumulated 100).
+    l1 = np.abs(f_slot - f_dense).sum(axis=1)
+    assert np.median(l1) < 1.0, np.median(l1)
+    assert l1.max() < 20.0, l1.max()
+    assert l1.mean() < 2.0, l1.mean()
+
+
+def test_dense_features_registration_quality():
+    """End-to-end: the fused stream with dense features recovers planted
+    transforms to the same gate as the slot-feature fused stream."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.registration.stream import (
+        make_stream_manifest,
+        stream_quality,
+        stream_register_pairs,
+    )
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pair_paths, trues, moments = make_stream_manifest(
+            tmp, 4, n_points=1500, sigma=0.005, seed0=30
+        )
+        res = stream_register_pairs(
+            pair_paths, cfg, window=2, down_cap=768, fuse_device=True,
+            dense_features=True, ransac_iterations=512, icp_iterations=4,
+        )
+        q = stream_quality(res, trues, moments)
+        assert q["quality_ok"], q

@@ -60,6 +60,23 @@ def nn_topk(
     nb = tgt.shape[0] // chunk
     q_sq = jnp.sum(query * query, axis=-1)
 
+    if nb == 1:
+        # Single-chunk fast path: no scan, no BIG-slot buffer concat — one
+        # dense distance slab + one top_k over the true columns.  Same
+        # tie semantics (top_k prefers earlier positions = smaller index).
+        # Measured 4.4x over the scan form at ingest shapes (256 x 896^2,
+        # k=100: 521 -> ~120 ms per 256-cloud window, v5e round 4).
+        d2 = q_sq[:, None] + tsq[None, :] - 2.0 * (query @ tgt.T)
+        d2 = jnp.where(d2 <= r2, d2, BIG)
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(tsq[None, :] >= BIG, BIG, d2)
+        neg, idx = jax.lax.top_k(-d2, k)
+        d2 = -neg
+        valid = d2 < BIG
+        if query_mask is not None:
+            valid = valid & query_mask[:, None]
+        return d2, idx, valid
+
     def body(carry, blk):
         bd2, bidx = carry
         t, t2, off = blk

@@ -65,10 +65,12 @@ def _fused_ingest_register(
     score_subset: int,
     rescore_top: int,
     sample_mode: str,
+    dense_features: bool = True,
 ):
     import jax.numpy as jnp
 
     from tpu3dm.core.cloud import PointCloud
+    from tpu3dm.preprocess.dense import down_features_dense
     from tpu3dm.preprocess.pipeline import down_features
     from tpu3dm.registration.fused import fused_register_step
 
@@ -80,13 +82,20 @@ def _fused_ingest_register(
         zeros3 = jnp.zeros_like(pts)
         feat0 = jnp.zeros(pts.shape[:2] + (0,), pts.dtype)
         clouds = PointCloud(points=pts, mask=masks, normals=zeros3, features=feat0)
-        featured = jax.vmap(
-            lambda pc: down_features(
+        if dense_features:
+            # Gather-free masked-matmul formulation (preprocess/dense.py) —
+            # measured 4-10x over the slot path at streaming shapes.
+            feature_one = lambda pc: down_features_dense(  # noqa: E731
+                pc, normal_radius, fpfh_radius,
+                normal_max_nn=normal_max_nn, fpfh_max_nn=fpfh_max_nn,
+            )
+        else:
+            feature_one = lambda pc: down_features(  # noqa: E731
                 pc, normal_radius, fpfh_radius,
                 normal_max_nn=normal_max_nn, fpfh_max_nn=fpfh_max_nn,
                 share_knn=share_knn,
             )
-        )(clouds)
+        featured = jax.vmap(feature_one)(clouds)
         src = jax.tree_util.tree_map(lambda a: a[:w], featured)
         tgt = jax.tree_util.tree_map(lambda a: a[w:], featured)
 
@@ -234,6 +243,7 @@ def stream_register_pairs(
     rescue_restarts: int | None = None,
     sample_mode: str = "roll",
     fuse_device: bool = False,
+    dense_features: bool = True,
 ) -> StreamResult:
     """Register a manifest of PLY pairs, streaming disk -> device -> result.
 
@@ -280,6 +290,7 @@ def stream_register_pairs(
             approx_score=approx_score,
             rescue_restarts=rescue_restarts,
             sample_mode=sample_mode,
+            dense_features=dense_features,
         )
 
     out_T = np.zeros((n_pairs, 4, 4), np.float32)
@@ -366,6 +377,7 @@ def _stream_fused(
     approx_score: bool,
     rescue_restarts: int | None,
     sample_mode: str,
+    dense_features: bool = True,
 ) -> StreamResult:
     """Fused-dispatch streaming consumer (see ``_fused_ingest_register``)."""
     import jax.numpy as jnp
@@ -384,6 +396,7 @@ def _stream_fused(
         rs.score_subset,
         rs.rescore_top,
         sample_mode,
+        dense_features,
     )
     nr = jnp.float32(pp.normal_radius)
     fr = jnp.float32(pp.fpfh_radius)
@@ -530,5 +543,57 @@ def stream_quality(
         "rot_err_deg_worst_pair": float(rot_errs.max()),
         "align_rmse_worst_pair": float(rmses.max()),
         "fitness_min": float(np.asarray(result.ransac_fitness).min()),
+        "pairs_over_2deg": int((rot_errs >= 2.0).sum()),
         "quality_ok": bool(rot_errs.max() < 2.0 and rmses.max() < 0.1),
     }
+
+
+def measure_fused_device_rate(
+    config: PipelineConfig,
+    *,
+    window: int,
+    down_cap: int,
+    ransac_iterations: int = 4096,
+    icp_iterations: int = 8,
+    icp_solves_per_nn: int = 2,
+    approx_score: bool = True,
+    rescue_restarts: int | None = None,
+    sample_mode: str = "roll",
+    dense_features: bool = True,
+    reps: int = 3,
+) -> float:
+    """Device-only pairs/s of the fused ingest+register program.
+
+    Re-dispatches one window with DEVICE-RESIDENT inputs (no H2D in the
+    timed loop) at the same compiled program the stream uses — the
+    hardware-bound term of the PCIe-host projection.  Assumes the program
+    is already compiled (call after a stream run, or pay one compile).
+    """
+    import jax.numpy as jnp
+
+    pp, rs = config.preprocess, config.ransac
+    fn = _fused_ingest_register(
+        pp.normal_max_nn, pp.fpfh_max_nn,
+        pp.normal_radius <= pp.fpfh_radius,
+        ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
+        rs.rescue_restarts if rescue_restarts is None else rescue_restarts,
+        rs.score_subset, rs.rescore_top, sample_mode, dense_features,
+    )
+    rng = np.random.default_rng(0)
+    pts = jax.device_put(
+        rng.normal(size=(2 * window, down_cap, 3)).astype(np.float32) * 0.5
+    )
+    msk = jax.device_put(np.ones((2 * window, down_cap), bool))
+    keys = jax.device_put(np.asarray(jax.random.split(jax.random.PRNGKey(3), window)))
+    args = (
+        pts, msk, keys,
+        jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
+        jnp.float32(rs.dist_thresh), jnp.float32(config.icp.dist_thresh),
+    )
+    np.asarray(fn(*args)[1])  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        np.asarray(fn(*args)[1])
+        times.append(time.monotonic() - t0)
+    return window / float(np.median(times))
