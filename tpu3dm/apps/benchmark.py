@@ -423,7 +423,9 @@ def run_multiway_benchmark(
          + 0.01 * rng.standard_normal(base.shape)).astype(np.float32)
         for T in trues
     ]
-    clouds = preprocess_points_batch(views, cfg.preprocess)
+    # The batched fan-out registers the DOWNSAMPLED clouds only; skipping
+    # full-res normals removes the dominant ingest stage at N=256 clouds.
+    clouds = preprocess_points_batch(views, cfg.preprocess, full_normals=False)
     edges = default_edges(n_clouds)
 
     import jax as _jax
@@ -529,7 +531,7 @@ def run_serve_benchmark(
         for s_, t_ in pairs
     })
 
-    def run_flood(engine) -> tuple[float, list, dict]:
+    def flood_once(engine) -> tuple[float, list]:
         results: list = [None] * n_requests
         errors: list = []
 
@@ -554,6 +556,18 @@ def run_serve_benchmark(
         wall = time.time() - t0
         if errors:
             raise errors[0]
+        return wall, results
+
+    def run_flood(engine) -> tuple[float, list, dict]:
+        """Steady-state flood: one untimed pass compiles every micro-batch
+        shape the flood actually produces (shared-target groups pad to
+        sizes the prewarm's full-batch shapes do not cover — measured:
+        the first flood of a fresh process runs 5-7x slower on compiles),
+        then the timed pass measures warm throughput."""
+        wall0, _ = flood_once(engine)
+        logger.info("flood warm pass: %.1fs (compiles included)", wall0)
+        engine.reset_latency_window()
+        wall, results = flood_once(engine)
         return wall, results, engine.stats()
 
     engine = ServeEngine(cfg, serve_cfg)
@@ -562,27 +576,25 @@ def run_serve_benchmark(
         # shared-target) through the real launch paths; the first request
         # after it must run warm.
         t0 = time.time()
-        prewarm_s = engine.prewarm(caps=caps, batch_sizes=[max_batch])
+        # batch size 1 covers the lone-first-request shape; max_batch the
+        # steady-state group shape.
+        prewarm_s = engine.prewarm(caps=caps, batch_sizes=[1, max_batch])
         first = engine.register(*pairs[0], timeout=1200)
         first_request_ms = first.latency_ms
         logger.info(
             "prewarm %.1fs (caps %s), first request after prewarm: %.0f ms",
             prewarm_s, caps, first_request_ms,
         )
-        # One stabilization group at full batch, then a clean timed window.
-        warm = [engine.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
-        for f in warm:
-            f.result(timeout=1200)
-        engine.reset_latency_window()
-
         wall, results, engine_stats = run_flood(engine)
     finally:
         engine.close()
 
     baseline = None
     if overlap_ab:
-        # A/B: same flood with the resolver inline (no pack/compute overlap).
-        eng0 = ServeEngine(cfg, _dc.replace(serve_cfg, pipeline_depth=0))
+        # A/B: same flood with the OTHER pipeline mode (default inline;
+        # the variant overlaps pack+upload with device compute).
+        other = 1 - (serve_cfg.pipeline_depth > 0)
+        eng0 = ServeEngine(cfg, _dc.replace(serve_cfg, pipeline_depth=other))
         try:
             warm = [eng0.submit(*pairs[i % n_distinct]) for i in range(max_batch)]
             for f in warm:
@@ -590,6 +602,7 @@ def run_serve_benchmark(
             eng0.reset_latency_window()
             wall0, _, stats0 = run_flood(eng0)
             baseline = {
+                "pipeline_depth": other,
                 "requests_per_sec": round(n_requests / wall0, 1),
                 "latency_ms": stats0.get("latency_ms"),
             }
@@ -617,7 +630,8 @@ def run_serve_benchmark(
         "queue_ms": engine_stats.get("queue_ms"),
         "pack_ms_per_batch": engine_stats.get("pack_ms_per_batch"),
         "device_ms_per_batch": engine_stats.get("device_ms_per_batch"),
-        "no_overlap_baseline": baseline,
+        "pipeline_depth": serve_cfg.pipeline_depth,
+        "pipeline_ab_variant": baseline,
         "rot_err_deg_max": round(max(rot_errs), 3),
         "quality_ok": max(rot_errs) < 2.0,
         "config": {
@@ -636,7 +650,10 @@ def run_serve_benchmark(
         "first-req %.0f ms%s) -> %s",
         report["requests_per_sec"], report["mean_batch_size"],
         report["rot_err_deg_max"], first_request_ms,
-        f", no-overlap {baseline['requests_per_sec']} req/s" if baseline else "",
+        (
+            f", depth-{baseline['pipeline_depth']} variant "
+            f"{baseline['requests_per_sec']} req/s" if baseline else ""
+        ),
         out_json,
     )
     return report

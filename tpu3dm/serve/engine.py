@@ -93,10 +93,21 @@ class ServeConfig:
     # Costs one tiny transfer per micro-batch; off by default (the split
     # is for benchmark artifacts — see apps/benchmark.py --serve).
     fence_uploads: bool = False
-    # 1 (default): the dispatcher hands launched batches to a resolver
-    # thread, overlapping batch i+1's host pack + upload with batch i's
-    # device compute.  0: resolve inline (no overlap) — the A/B baseline.
-    pipeline_depth: int = 1
+    # 1: the dispatcher hands launched batches to a resolver thread,
+    # overlapping batch i+1's host pack + upload with batch i's device
+    # compute.  0 (default): resolve inline.  Measured on v5e through the
+    # axon tunnel (512-request floods, steady state after an untimed warm
+    # flood, three A/B sessions): depth 1 = {272.4, 165.7, 265.3} req/s
+    # (median +11%, but the concurrent D2H wait + H2D uploads contend
+    # intermittently on the remote client — one session lost 30%) vs a
+    # stable inline {238.2, 235.1, 251.2}.  Predictable latency wins for
+    # serving, so the stable mode is the default on this backend.  On a
+    # directly-attached PCIe host the client
+    # handles concurrent transfers; re-A/B with `bench --serve --serve-ab`
+    # before choosing.  Measurement trap for posterity: an A/B whose first
+    # flood still compiles micro-batch shapes mis-attributes a 7x penalty
+    # to whichever mode runs first.
+    pipeline_depth: int = 0
 
 
 @dataclasses.dataclass
