@@ -385,15 +385,21 @@ def run_multiway_benchmark(
     n_clouds: int = 16,
     *,
     n_points: int = 20_000,
+    rescue_restarts: int = 2,
+    robust_delta: float = 0.1,
     out_json: str = "benchmark_multiway.json",
 ) -> dict:
     """Multi-way registration benchmark (BASELINE config 5).
 
     N synthetic views of one cloud under known rigid transforms of the
     reference's test magnitude; all chain+loop-closure edges registered in
-    ONE batched dispatch (multiway/posegraph.py register_multiway_batched),
-    then the pose-graph Gauss-Newton solve.  Reports edges/s (warm) and
-    per-edge rotation error vs ground truth.
+    memory-chunked batched dispatches (multiway/posegraph.py
+    register_multiway_batched), then the pose-graph Gauss-Newton solve
+    (edgewise assembly above 64 nodes).  The production robustness config
+    is on by default: alias rescue per edge (at 256 arbitrary edges the
+    ~60-deg arch alias IS elected occasionally without it — measured 1/256
+    at rescue=0) and the Geman-McClure robust pose loss.  Reports edges/s
+    (warm) and per-edge rotation error vs ground truth.
     """
     from tpu3dm.io.synthetic import dental_arch_cloud
     from tpu3dm.multiway.posegraph import default_edges, register_multiway_batched
@@ -431,11 +437,12 @@ def run_multiway_benchmark(
     import jax as _jax
 
     key = _jax.random.PRNGKey(0)
-    out = register_multiway_batched(clouds, cfg, key=key)  # compile
+    kw = dict(rescue_restarts=rescue_restarts, robust_delta=robust_delta)
+    out = register_multiway_batched(clouds, cfg, key=key, **kw)  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = register_multiway_batched(clouds, cfg, key=key)
+        out = register_multiway_batched(clouds, cfg, key=key, **kw)
         times.append(time.perf_counter() - t0)
     warm_s = float(np.median(times))
 

@@ -406,18 +406,21 @@ def register_multiway_batched(
 
     e_np = np.asarray(edges, np.int32)
     keys_np = np.asarray(jax.random.split(key, len(edges)))
-    # Pad the edge axis to the mesh's pair quantum (repeat edge 0) so the
-    # fan-out shards evenly; padded lanes are sliced off below.
+    # Chunk the edge axis: one vmapped dispatch over ALL edges OOMs past
+    # ~128 lanes at cap 1024 (measured round 4: 256 edges allocate a
+    # 12.5 GB scoring temp on a 16 GB chip).  Chunks share one compiled
+    # program (equal width), padded with repeats of edge 0 — which also
+    # satisfies the mesh's pair-axis quantum; padded lanes sliced off.
     n_edges = len(edges)
-    e_pad = n_edges
-    if mesh is not None:
-        quantum = int(mesh.shape["pair"])
-        e_pad = -(-n_edges // quantum) * quantum
-        if e_pad > n_edges:
-            e_np = np.concatenate([e_np, np.repeat(e_np[:1], e_pad - n_edges, 0)])
-            keys_np = np.concatenate(
-                [keys_np, np.repeat(keys_np[:1], e_pad - n_edges, 0)]
-            )
+    quantum = int(mesh.shape["pair"]) if mesh is not None else 1
+    chunk_w = min(128, -(-n_edges // quantum) * quantum)
+    chunk_w = -(-chunk_w // quantum) * quantum
+    e_pad = -(-n_edges // chunk_w) * chunk_w
+    if e_pad > n_edges:
+        e_np = np.concatenate([e_np, np.repeat(e_np[:1], e_pad - n_edges, 0)])
+        keys_np = np.concatenate(
+            [keys_np, np.repeat(keys_np[:1], e_pad - n_edges, 0)]
+        )
     si, ti = jnp.asarray(e_np[:, 0]), jnp.asarray(e_np[:, 1])
     keys = jnp.asarray(keys_np)
 
@@ -445,9 +448,16 @@ def register_multiway_batched(
         ti = jax.device_put(ti, shard)
         keys = jax.device_put(keys, shard)
 
-    Ts, fit, rmse = run(pts, feat, msk, nrm, si, ti, keys)
-    T_np = np.asarray(Ts)[:n_edges]
-    fit_np = np.asarray(fit)[:n_edges]
+    T_parts, fit_parts, rmse_parts = [], [], []
+    for lo in range(0, e_pad, chunk_w):
+        sl = slice(lo, lo + chunk_w)
+        Ts, fit, rmse = run(pts, feat, msk, nrm, si[sl], ti[sl], keys[sl])
+        T_parts.append(np.asarray(Ts))
+        fit_parts.append(np.asarray(fit))
+        rmse_parts.append(np.asarray(rmse))
+    T_np = np.concatenate(T_parts)[:n_edges]
+    fit_np = np.concatenate(fit_parts)[:n_edges]
+    rmse = np.concatenate(rmse_parts)[:n_edges]
     T_list = [T_np[e] for e in range(len(edges))]
     fit_list = [float(fit_np[e]) for e in range(len(edges))]
 

@@ -295,32 +295,74 @@ def preprocess_points_batch(
         from_numpy(np.asarray(d.points)[np.asarray(d.mask)], capacity=cap_d)
         for d in downs
     ]
-    down_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *downs_pc)
     share = config.normal_radius <= config.fpfh_radius
+
+    # Memory-bound the vmapped feature dispatch: the per-cloud top-k scan
+    # materializes O(cap^2) temporaries per lane, and one dispatch over
+    # hundreds of clouds OOMs a 16 GB chip (measured round 4: 256 clouds
+    # at cap 1024 allocate a 12.5 GB remat temp).  Chunks of equal width
+    # (last one padded with repeats of cloud 0) share one compiled
+    # program.
+    chunk = max(1, min(len(downs_pc), (96 * 1024 * 1024) // max(cap_d * cap_d, 1)))
+    if full_normals:
+        # The capped full-res scan keeps O(cap_f x 1024) temps per lane
+        # (nn_topk target chunks); 64 clouds at 20k points is the known-
+        # good batch width, scaled inversely with capacity.
+        chunk = max(1, min(chunk, (64 * 20480) // max(cap_f, 1)))
+
+    def run_chunked(fn, stacked_args_fn, items):
+        outs = []
+        for lo in range(0, len(items), chunk):
+            part = items[lo:lo + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = part + [part[0]] * pad
+            out = fn(*stacked_args_fn(part))
+            if pad:
+                out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
+            outs.append(out)
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs
+        )
 
     if full_normals:
         fulls_pc = [from_numpy(p, capacity=cap_f) for p in clouds]
-        full_in = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fulls_pc)
-        down_b, full_b = _features_device_batched(
+        fn = _features_device_batched(
             config.normal_max_nn,
             config.fpfh_max_nn,
             config.full_normal_max_nn,
             share,
-        )(
-            down_in,
-            full_in,
-            jnp.float32(config.normal_radius),
-            jnp.float32(config.fpfh_radius),
+        )
+
+        def args_full(part):
+            dpart = [downs_pc[i] for i, _ in part]
+            fpart = [fulls_pc[i] for i, _ in part]
+            return (
+                jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dpart),
+                jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fpart),
+                jnp.float32(config.normal_radius),
+                jnp.float32(config.fpfh_radius),
+            )
+
+        down_b, full_b = run_chunked(
+            fn, args_full, list(enumerate(downs_pc))
         )
         fulls = None
     else:
-        down_b = _down_features_device_batched(
+        fn = _down_features_device_batched(
             config.normal_max_nn, config.fpfh_max_nn, share
-        )(
-            down_in,
-            jnp.float32(config.normal_radius),
-            jnp.float32(config.fpfh_radius),
         )
+
+        def args_down(part):
+            return (
+                jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *part),
+                jnp.float32(config.normal_radius),
+                jnp.float32(config.fpfh_radius),
+            )
+
+        down_b = run_chunked(fn, args_down, downs_pc)
         full_b = None
         fulls = [from_numpy(p, capacity=cap_f, host=True) for p in clouds]
 

@@ -229,20 +229,36 @@ def coarse_pose_with_verification(
         cands.extend(global_registration_two_mode(src_down, tgt_down, config.ransac, k))
     fit_max = max(float(c.fitness) for c in cands)
 
-    from tpu3dm.registration.evaluate import evaluate_registration
-
     def verified(cand):
+        # Two-stage (annealed) verification, mirroring the fused rescue:
+        # coarse iterations pull a RANSAC-rough pose into the basin, fine
+        # iterations lock the in-plane components that coarse
+        # correspondences cannot (plane-dominated partial overlaps drag
+        # the p2pl solve via boundary-clamped matches — round-4 plate
+        # family measurement).
+        half = max(verify_iters // 2, 1)
         ver = icp_refine(
             src_down,
             tgt_down,
             cand.transformation,
             dist_thresh=config.ransac.dist_thresh,
-            max_iterations=verify_iters,
+            max_iterations=half,
+            point_to_plane=False,
+        )
+        ver = icp_refine(
+            src_down,
+            tgt_down,
+            ver.transformation,
+            dist_thresh=config.icp.dist_thresh,
+            max_iterations=max(verify_iters - half, 1),
             point_to_plane=False,
         )
         # Fine-threshold fitness leads the election (same rationale as the
         # fused rescue: coarse-threshold coverage can favor a
-        # partial-overlap alias; ICP-threshold coverage does not).
+        # partial-overlap alias; ICP-threshold coverage does not, and the
+        # eligibility guard handles the geometrically-blind wrap cases).
+        from tpu3dm.registration.evaluate import evaluate_registration
+
         fine = evaluate_registration(
             src_down, tgt_down, config.icp.dist_thresh, ver.transformation
         )
