@@ -247,15 +247,25 @@ def rolled_sample_gathers(
     given, ``pq`` is in ORIGINAL (uncompacted) order and sampled ranks are
     mapped through it — one extra [M] int gather instead of compacting the
     whole correspondence set (3 row gathers) up front.
+
+    The sample row count is capped at ``max(256, k // 8)``: the two sampler
+    gathers run at ELEMENT rate and were the largest RANSAC floor
+    components in the round-4 profiler trace (21.4 + 14.8 ms of a 211 ms
+    fused step at M=1024, B=2048 — docs/ROOFLINE.md op-level table), and
+    they scale with the sampled-row count, not K.  Halving the rows
+    doubles per-row triple reuse (24x at K=4096 — the independent sampler
+    already reused rows ~17x), which leaves the marginal triple
+    distribution unchanged; quality gates re-validated on chip.
     """
     m = pq.shape[0]
+    m_s = min(m, max(256, k // 8))
     nv = jnp.maximum(n_valid, 3).astype(jnp.uint32)
-    bits = jax.random.bits(key, (m,), jnp.uint32)
+    bits = jax.random.bits(key, (m_s,), jnp.uint32)
     ranks = (bits % nv).astype(jnp.int32)
     if rank_to_idx is not None:
         ranks = rank_to_idx[ranks]
     S = pq[ranks]  # the one row gather
-    reps = -(-k // m)
+    reps = -(-k // m_s)
     # Distinct static offset pairs per rep; co-prime-ish spreads so no two
     # reps generate the same (j, j+s1, j+s2) index pattern.
     offs = ((1, 2), (3, 7), (11, 23), (41, 87),
