@@ -400,20 +400,79 @@ def main() -> None:
     # bucketed args hold ~1-2 GB of HBM, and the fused stream program's
     # peak (top-k scan + RANSAC scoring for a 256-cloud window) OOMs v5e
     # with them resident (measured this round).
-    try:
-        del sp_, sf_, sm_, sn_, tp_, tf_, tm_, tn_, out_d, dkeys, out
-        del args, outb, bkeys
-    except NameError:
-        pass
+    # Rebind-to-None instead of ``del``: a single multi-name ``del`` aborts
+    # at the first unbound name (e.g. a skipped earlier phase), silently
+    # leaving every later buffer resident and defeating the OOM avoidance;
+    # assignment drops each device-buffer reference unconditionally.
+    sp_ = sf_ = sm_ = sn_ = tp_ = tf_ = tm_ = tn_ = None  # noqa: F841
+    out_d = dkeys = out = args = outb = bkeys = None  # noqa: F841
     try:
         _fresh_stream_phase(cfg)
     except Exception as e:  # the headline JSON must still print
         log(f"fresh-stream phase FAILED: {type(e).__name__}: {e}")
 
+    # --- large-cloud (1M-point) registration: warm time + quality, gated ----
+    if time.time() - t_start > 600.0:
+        log("skipping large-cloud phase (time budget)")
+        return _emit(locals())
+    try:
+        _large_cloud_phase()
+    except Exception as e:
+        log(f"large-cloud phase FAILED: {type(e).__name__}: {e}")
+
     return _emit(locals())
 
 
 _FRESH = None
+_LARGE = None
+
+
+def _large_cloud_phase() -> None:
+    """Gated 1M-point registration: cold + warm wall time and pose quality.
+
+    The 1M-point path (SURVEY §5.7 long-context axis) was previously only
+    measured by the standalone `benchmark --large` artifact; gating it here
+    means a regression in the block-sparse refinement ships loudly.  Warm =
+    second call at identical shapes (jit caches hit); quality gate matches
+    the README claim (rotation error + alignment RMSE vs the planted pose).
+    """
+    global _LARGE
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.registration.large import register_arrays_large
+
+    n = int(_os.environ.get("TPU3DM_BENCH_LARGE_POINTS", 1_000_000))
+    src_pts, tgt_pts, T_true = make_benchmark_pair(n, seed=0, sigma=0.002)
+
+    def once():
+        t0 = time.time()
+        fine, _ = register_arrays_large(src_pts, tgt_pts)
+        T = np.asarray(fine.transformation)
+        dt = time.time() - t0
+        M = T[:3, :3] @ np.asarray(T_true)[:3, :3].T
+        rot = float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+        moved = src_pts @ T[:3, :3].T + T[:3, 3]
+        expect = (
+            src_pts @ np.asarray(T_true)[:3, :3].T + np.asarray(T_true)[:3, 3]
+        )
+        rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+        return dt, rot, rmse, float(fine.fitness)
+
+    cold_s, _, _, _ = once()
+    warm_s, rot, rmse, fit = once()
+    ok = rot < 2.0 and rmse < 0.01
+    log(
+        f"large-cloud {n} pts: cold {cold_s:.1f}s, warm {warm_s:.2f}s, "
+        f"rot {rot:.3f} deg, rmse {rmse:.2e}, fitness {fit:.3f}, ok={ok}"
+    )
+    _LARGE = {
+        "large_n_points": n,
+        "large_register_cold_s": round(cold_s, 2),
+        "large_register_warm_s": round(warm_s, 2),
+        "large_rot_err_deg": round(rot, 4),
+        "large_align_rmse": round(rmse, 6),
+        "large_fitness": round(fit, 4),
+        "large_quality_ok": ok,
+    }
 
 
 def _fresh_stream_phase(cfg) -> None:
@@ -530,6 +589,8 @@ def _emit(ns) -> None:
     }
     if _FRESH is not None:
         result.update(_FRESH)
+    if _LARGE is not None:
+        result.update(_LARGE)
     print(json.dumps(result))
 
 

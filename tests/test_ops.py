@@ -394,3 +394,97 @@ def test_nn_mutual_mask_lane_approx_is_exact_f32():
     idxl, mutl = nn_mutual_mask_lane(a, b, approx=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(idxl), np.asarray(idxd))
     np.testing.assert_array_equal(np.asarray(mutl), np.asarray(mutd))
+
+
+# ---------------------------------------------------------------------------
+# Value-carrying NN folds (round 5: the gather-free fused-step path)
+# ---------------------------------------------------------------------------
+
+
+def test_nn_search_vals_matches_argmin_gather():
+    """nn_search_vals == nn_search + values[idx] on valid rows (d3 + d33)."""
+    from tpu3dm.ops.nn import nn_search_dense, nn_search_vals
+
+    rng = np.random.default_rng(0)
+    for d in (3, 33):
+        q = jnp.asarray(rng.normal(size=(200, d)).astype(np.float32))
+        t = jnp.asarray(rng.normal(size=(311, d)).astype(np.float32))
+        vals = jnp.asarray(rng.normal(size=(311, 6)).astype(np.float32))
+        qm = jnp.arange(200) < 190
+        tm = jnp.arange(311) < 300
+        d2_ref, idx = nn_search_dense(q, t, qm, tm)
+        d2_v, v = nn_search_vals(q, t, vals, qm, tm)
+        # Masked queries have contractually arbitrary results in both forms.
+        np.testing.assert_allclose(
+            np.asarray(d2_v)[:190], np.asarray(d2_ref)[:190], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v)[:190], np.asarray(vals)[np.asarray(idx)[:190]], atol=1e-6
+        )
+
+
+def test_nn_search_vals_vmapped():
+    from tpu3dm.ops.nn import nn_search_dense, nn_search_vals
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(4, 64, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(4, 96, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(4, 96, 6)).astype(np.float32))
+    d2_v, v = jax.jit(jax.vmap(lambda a, b, c: nn_search_vals(a, b, c)))(q, t, vals)
+    d2_ref, idx = nn_search_dense(q, t)
+    np.testing.assert_allclose(np.asarray(d2_v), np.asarray(d2_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(v),
+        np.take_along_axis(np.asarray(vals), np.asarray(idx)[..., None], axis=1),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("chunk", [0, 96, 128, 4096])
+@pytest.mark.parametrize("approx", [False, True])
+def test_nn_mutual_vals_matches_mask_form(chunk, approx):
+    """Chunked/one-shot nn_mutual_vals == nn_mutual_mask + gather on valid rows."""
+    from tpu3dm.ops.nn import nn_mutual_mask, nn_mutual_vals
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(150, 33)).astype(np.float32) * 3)
+    b = jnp.asarray(rng.normal(size=(321, 33)).astype(np.float32) * 3)
+    vals = jnp.asarray(rng.normal(size=(321, 3)).astype(np.float32))
+    ma = jnp.arange(150) < 140
+    mb = jnp.arange(321) < 310
+    idx, mut_ref = nn_mutual_mask(a, b, ma, mb, approx=approx)
+    v, mut = nn_mutual_vals(a, b, vals, ma, mb, approx=approx, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(mut), np.asarray(mut_ref))
+    np.testing.assert_allclose(
+        np.asarray(v)[:140], np.asarray(vals)[np.asarray(idx)[:140]], atol=1e-6
+    )
+
+
+def test_fused_step_values_impl_matches_dense():
+    """nn_impl='values' elects the same transform as 'dense' (plain + rescue)."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.preprocess.pipeline import preprocess_points
+    from tpu3dm.registration.fused import fused_register_step
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    sp, tp, _ = make_benchmark_pair(3000, seed=3, sigma=0.01)
+    src = preprocess_points(sp, cfg.preprocess)
+    tgt = preprocess_points(tp, cfg.preprocess)
+    sd, td = src.down, tgt.down
+    key = jax.random.PRNGKey(0)
+    for rescue in (0, 2):
+        outs = {}
+        for impl in ("dense", "values"):
+            outs[impl] = fused_register_step(
+                sd.points, sd.features, sd.mask, sd.normals,
+                td.points, td.features, td.mask, td.normals, key,
+                dist_thresh=cfg.ransac.dist_thresh,
+                icp_thresh=cfg.icp.dist_thresh,
+                ransac_iterations=256, ransac_batch=256,
+                icp_iterations=4, icp_solves_per_nn=2,
+                rescue_restarts=rescue, nn_impl=impl,
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["dense"][0]), np.asarray(outs["values"][0]), atol=1e-5
+        )

@@ -268,3 +268,36 @@ def test_dense_features_registration_quality():
         )
         q = stream_quality(res, trues, moments)
         assert q["quality_ok"], q
+
+
+def test_dense_features_cap_edge_cases():
+    """down_features_dense handles inverted caps (normal_max_nn >
+    fpfh_max_nn) and uncapped (0) modes instead of trace-erroring
+    (round-4 advisor finding: vals[:, kn-1] out of a kf-wide top_k)."""
+    import jax.numpy as jnp
+
+    from tpu3dm.core.cloud import from_numpy
+    from tpu3dm.core.config import PreprocessConfig
+    from tpu3dm.io.synthetic import dental_arch_cloud
+    from tpu3dm.preprocess.dense import down_features_dense
+    from tpu3dm.preprocess.voxel import voxel_downsample_host
+
+    pp = PreprocessConfig()
+    raw = dental_arch_cloud(2000, seed=5)
+    down = voxel_downsample_host(raw, pp.voxel_size)
+    m = np.asarray(down.mask)
+    pc = from_numpy(np.asarray(down.points)[m], capacity=512)
+
+    for kn, kf in ((30, 100), (100, 30), (30, 0), (0, 100), (0, 0)):
+        out = down_features_dense(
+            pc, jnp.float32(pp.normal_radius), jnp.float32(pp.fpfh_radius),
+            normal_max_nn=kn, fpfh_max_nn=kf,
+        )
+        msk = np.asarray(pc.mask)
+        nrm = np.asarray(out.normals)[msk]
+        feats = np.asarray(out.features)[msk]
+        assert np.all(np.isfinite(nrm)) and np.all(np.isfinite(feats))
+        np.testing.assert_allclose(
+            np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4
+        )
+        assert feats.sum() > 0.0

@@ -523,3 +523,43 @@ def test_resident_target_lru_keeps_hot_model(cfg, pairs):
         assert isinstance(eng._residents[id(hot)][1], ResidentTarget)
     finally:
         eng.close()
+
+
+def test_server_accepts_payload_exactly_at_limit(tmp_path):
+    """A request line whose payload is EXACTLY max_line_bytes must be
+    parsed, not rejected (round-4 advisor finding: readline(limit+1)
+    rejected at-limit payloads — the bound is on the payload, newline
+    excluded)."""
+    import json as _json
+    import socket
+
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.serve.server import RegistrationServer
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    limit = 4096
+    server = RegistrationServer(
+        port=0, pipeline=cfg, serve=SERVE, max_line_bytes=limit, max_points=100
+    )
+    try:
+        with socket.create_connection((server.host, server.port), timeout=10) as s:
+            rfile = s.makefile("rb")
+            # Unknown-op JSON padded to exactly `limit` bytes: must reach the
+            # handler (an error response that is NOT too_large).
+            base = {"op": "nope", "pad": ""}
+            pad = limit - len(_json.dumps(base).encode())
+            base["pad"] = "x" * pad
+            line = _json.dumps(base).encode()
+            assert len(line) == limit
+            s.sendall(line + b"\n")
+            resp = _json.loads(rfile.readline())
+            assert resp.get("code") != "too_large"
+            # One byte over the limit: rejected as too_large.
+            base["pad"] = "x" * (pad + 1)
+            line = _json.dumps(base).encode()
+            assert len(line) == limit + 1
+            s.sendall(line + b"\n")
+            resp = _json.loads(rfile.readline())
+            assert resp["ok"] is False and resp["code"] == "too_large"
+    finally:
+        server.close()

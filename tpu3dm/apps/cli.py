@@ -465,9 +465,15 @@ def _cmd_serve(args) -> int:
     if args.prewarm:
         # Compile the steady-state shapes BEFORE announcing the port: the
         # first client request then runs warm instead of stalling ~36 s.
+        # batch size 1 is included alongside max_batch: a lone first request
+        # forms a micro-batch of 1 (a distinct compiled program), so warming
+        # only the full batch would still stall it (run_serve_benchmark
+        # prewarms [1, max_batch] for the same reason).
         prewarm_s = server.prewarm(
             caps=args.prewarm_caps or None,
-            batch_sizes=[args.max_batch] if args.max_batch else None,
+            batch_sizes=(
+                sorted({1, args.max_batch}) if args.max_batch else None
+            ),
         )
     print(json.dumps({
         "listening": f"{server.host}:{server.port}",

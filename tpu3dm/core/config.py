@@ -86,6 +86,25 @@ class RansacConfig:
     # register_pairs_batched / batched_register / the benchmarks.
     score_subset: int = 0
     rescore_top: int = 128
+    # Roll-sampler gather rows (hypotheses.rolled_sample_gathers).  0 = the
+    # measured default cap max(256, K//8); -1 = uncapped (one sampled row
+    # per correspondence); >0 = explicit row count.  The cap trades sampler
+    # gather cost (the rows are gathered at TPU element rate) against
+    # inter-triple CORRELATION: at the default, ~512 rows serve 4096 triples
+    # (~24x reuse) — per-triple marginals are unchanged, but hard
+    # low-overlap cases wanting maximal hypothesis diversity can restore the
+    # full row count here (quality on both synthetic families re-validated
+    # at the default; see docs/ROOFLINE.md op-level trace for the cost).
+    sample_rows: int = 0
+    # Adaptive hypothesis budget (parallel/multipair.py ransac_pair_step):
+    # when > the fixed iteration budget, low-support pairs EXTEND their
+    # hypothesis search under a while_loop until the reference's confidence
+    # formula N = log(1-c)/log(1-w^3) is satisfied or this cap is reached
+    # (_visualize_matcher.py:356-370 run in reverse: the reference stops
+    # early at high support; this extends at low support).  0 = fixed
+    # budget.  High-support pairs take zero extra chunks, so enabling it
+    # costs nothing outside the hard-pair regime.
+    adapt_iterations: int = 0
 
     @property
     def dist_thresh(self) -> float:

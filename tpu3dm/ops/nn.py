@@ -417,6 +417,247 @@ def nn_mutual(
     return idx_fwd, idx_bwd
 
 
+def _variadic_min_reduce(d2: jax.Array, payload: tuple[jax.Array, ...], axis: int):
+    """Variadic min-reduction: min d2 over ``axis`` CARRYING payload values.
+
+    Lowers to one XLA variadic reduce (the same machinery argmin uses for its
+    (value, iota) pair, extended to the payload): elementwise producers and
+    broadcasts fuse into the reduction, so the winner's payload comes out of
+    the SAME pass that finds the minimum — no index materialization, no
+    row gather afterwards.  TPU row gathers run at element rate (~850M
+    elem/s measured): the fused register step spent 111 of 211 device-ms in
+    gathers (docs/ROOFLINE.md op-level trace), over half of that gathering
+    rows by freshly-computed argmin indices — exactly what this fold
+    replaces.  Ties resolve to an unspecified tying element (XLA reduce
+    order), vs argmin's first occurrence; every caller tolerates ties by
+    construction (tying rows are near-duplicate points/features).
+
+    Returns (min_d2, *payload_at_min), each shaped like d2 minus ``axis``.
+    """
+    ops = (d2, *payload)
+    inits = (jnp.float32(BIG),) + tuple(
+        jnp.zeros((), p.dtype) for p in payload
+    )
+
+    def comb(acc, new):
+        take = new[0] < acc[0]
+        return tuple(jnp.where(take, n, a) for a, n in zip(acc, new))
+
+    return jax.lax.reduce(ops, inits, comb, dimensions=(axis % d2.ndim,))
+
+
+def nn_search_vals(
+    query: jax.Array,
+    target: jax.Array,
+    values: jax.Array,
+    query_mask: jax.Array | None = None,
+    target_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-1 NN returning the winner's PAYLOAD ROWS instead of indices.
+
+    The gather-free ICP correspondence search: ``values`` [..., M, V] holds
+    whatever the caller needs per target row (e.g. the [M, 6] points+normals
+    pack of the fused ICP loop), and the winner's row is folded out of the
+    distance reduction itself (``_variadic_min_reduce``).  Replaces the
+    argmin + ``values[idx]`` sequence whose gather cost 29.5 ms per NN pass
+    at [2048, 1024, 1024] on v5e (fusion.548 in the round-4 trace).
+
+    Dense-regime only (registration shapes; the [*, N, M] distance matrix is
+    produced on the fly inside the reduce fusion, never in HBM).  Same d2
+    contract as ``nn_search_dense``: true squared distances, masked targets
+    pushed unreachably far, masked queries get arbitrary results.
+
+    Returns (d2 [..., N], vals [..., N, V]).
+    """
+    d = query.shape[-1]
+    v = values.shape[-1]
+    if d < SMALL_D_MAX:
+        bias = jnp.zeros(target.shape[:-1], query.dtype)
+        if target_mask is not None:
+            bias = jnp.where(target_mask, bias, BIG)
+        d2 = bias[..., None, :]
+        for k in range(d):  # static unroll; fuses into the reduce
+            diff = query[..., :, k, None] - target[..., None, :, k]
+            d2 = d2 + diff * diff
+    else:
+        tsq = jnp.sum(target * target, axis=-1)
+        if target_mask is not None:
+            tsq = jnp.where(target_mask, tsq, BIG)
+        cross = jnp.einsum("...nd,...md->...nm", query, target)
+        d2 = tsq[..., None, :] - 2.0 * cross
+    payload = tuple(
+        jnp.broadcast_to(values[..., None, :, j], d2.shape) for j in range(v)
+    )
+    outs = _variadic_min_reduce(d2, payload, axis=-1)
+    best = outs[0]
+    if d >= SMALL_D_MAX:
+        best = best + jnp.sum(query * query, axis=-1)
+    return jnp.maximum(best, 0.0), jnp.stack(outs[1:], axis=-1)
+
+
+def pack_f16_pairs(v: jax.Array) -> jax.Array:
+    """Pack [..., 2k] fp32 values into [..., k] fp32-typed bit carriers.
+
+    Each output element holds two IEEE f16s (lo | hi<<16) bitcast to f32 —
+    the variadic min-fold only SELECTS payload elements (never does
+    arithmetic on them), so bit-packing halves the carried operand count at
+    f16 precision (~5e-4 absolute at unit scale; callers must tolerate it,
+    e.g. ICP correspondence targets where per-point noise averages out of
+    the normal equations)."""
+    h = v.astype(jnp.float16)
+    u = jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+    lo, hi = u[..., 0::2], u[..., 1::2]
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+def unpack_f16_pairs(p: jax.Array) -> jax.Array:
+    """Inverse of ``pack_f16_pairs``: [..., k] f32 carriers -> [..., 2k] f32."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.float16)
+    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.float16)
+    out = jnp.stack([lo, hi], axis=-1).astype(jnp.float32)
+    return out.reshape(*p.shape[:-1], p.shape[-1] * 2)
+
+
+def nn_mutual_mask_fold(
+    a: jax.Array,
+    b: jax.Array,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+    *,
+    approx: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """``nn_mutual_mask`` with the mutuality test as a carried-value fold.
+
+    Same contract as ``nn_mutual_mask``; the difference is HOW
+    ``colmin[idx_fwd]`` is obtained: instead of a lane-axis
+    ``take_along_axis`` (a dynamic minor-dim gather — 21.4 ms at
+    [2048, 1024, 1024] in the round-4 trace), the column minimum rides the
+    row-min reduction as a single carried payload.  One extra read of the
+    distance matrix replaces the gather."""
+    _, asq = _prep(a, mask_a)
+    _, bsq = _prep(b, mask_b)
+    if approx:
+        cross = jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            dimension_numbers=(
+                ((a.ndim - 1,), (b.ndim - 1,)),
+                (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2))),
+            ),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = jnp.einsum("...nd,...md->...nm", a, b)
+    d2 = asq[..., :, None] + bsq[..., None, :] - 2.0 * cross
+    colmin = jnp.min(d2, axis=-2)
+    idx_fwd = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    dmin_fwd, colmin_at = _variadic_min_reduce(
+        d2, (jnp.broadcast_to(colmin[..., None, :], d2.shape),), axis=-1
+    )
+    mutual = dmin_fwd <= colmin_at
+    if mask_a is not None:
+        mutual = mutual & mask_a
+    return idx_fwd, mutual
+
+
+def nn_mutual_vals(
+    a: jax.Array,
+    b: jax.Array,
+    values: jax.Array,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+    *,
+    approx: bool = False,
+    chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward-NN payload rows + mutuality mask, fully gather-free.
+
+    The correspondence-stage analog of ``nn_search_vals``: same mutual
+    semantics as ``nn_mutual_mask`` (row i is mutual iff its best distance
+    matches the best anyone achieves to its chosen column), but both the
+    winner's payload row (``values[idx_fwd]`` — the target points) and the
+    column-minimum at the winner (``colmin[idx_fwd]``) are folded through
+    the row reduction as carried values.  Replaces the round-4 trace's
+    fusion.26 (21.4 ms take_along_axis of colmin) + fusion.27 (14.6 ms
+    ``tgt_pts[idx_fwd]``).
+
+    2-D inputs run a ``lax.scan`` over TARGET CHUNKS: per chunk one
+    [N, chunk] distance tile is built (the matmul term stays on the MXU),
+    its column minima are final (columns are chunk-local), and the running
+    (best d2, payload, colmin-at-best) folds via the variadic reduce — the
+    full [N, M] distance matrix NEVER materializes.  At the fused step's
+    shape ([2048, 1024, 1024] vmapped lanes) the one-shot formulation's
+    materialized fp32 cross is 8.6 GB; chunking replaces it with one
+    reused [B, N, chunk] tile (2.1 GB at 256) — the difference between
+    fitting and OOM on a 16 GB chip (measured round 5).
+
+    Returns (vals [..., Na, V], mutual [..., Na]).
+    """
+    v = values.shape[-1]
+
+    def _cross(qa, qb):
+        if approx:
+            return jax.lax.dot_general(
+                qa.astype(jnp.bfloat16),
+                qb.astype(jnp.bfloat16),
+                dimension_numbers=(
+                    ((qa.ndim - 1,), (qb.ndim - 1,)),
+                    (tuple(range(qa.ndim - 2)), tuple(range(qb.ndim - 2))),
+                ),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.einsum("...nd,...md->...nm", qa, qb)
+
+    _, asq = _prep(a, mask_a)
+    _, bsq = _prep(b, mask_b)
+    nt = b.shape[-2]
+    if a.ndim == 2 and chunk and nt > chunk:
+        d = b.shape[-1]
+        pad = (-nt) % chunk
+        if pad:
+            b = jnp.concatenate([b, jnp.zeros((pad, d), b.dtype)], axis=0)
+            bsq = jnp.concatenate([bsq, jnp.full((pad,), BIG)], axis=0)
+            values = jnp.concatenate(
+                [values, jnp.zeros((pad, v), values.dtype)], axis=0
+            )
+        n_chunks = (nt + pad) // chunk
+        b_blk = b.reshape(n_chunks, chunk, d)
+        bsq_blk = bsq.reshape(n_chunks, chunk)
+        val_blk = values.reshape(n_chunks, chunk, v)
+
+        def body(carry, blk):
+            b_c, bsq_c, val_c = blk
+            d2 = asq[:, None] + bsq_c[None, :] - 2.0 * _cross(a, b_c)
+            colmin_c = jnp.min(d2, axis=0)  # final: columns are chunk-local
+            payload = tuple(
+                jnp.broadcast_to(val_c[None, :, j], d2.shape) for j in range(v)
+            ) + (jnp.broadcast_to(colmin_c[None, :], d2.shape),)
+            outs = _variadic_min_reduce(d2, payload, axis=-1)
+            take = outs[0] < carry[0]
+            return tuple(
+                jnp.where(take, n, c) for c, n in zip(carry, outs)
+            ), None
+
+        # Inits derive from `a` so they inherit varying manual axes under
+        # shard_map (same trick as nn_search_xla).
+        init = tuple(jnp.full_like(a[:, 0], BIG if j == 0 else 0.0)
+                     for j in range(v + 2))
+        outs, _ = jax.lax.scan(body, init, (b_blk, bsq_blk, val_blk))
+    else:
+        d2 = asq[..., :, None] + bsq[..., None, :] - 2.0 * _cross(a, b)
+        colmin = jnp.min(d2, axis=-2)
+        payload = tuple(
+            jnp.broadcast_to(values[..., None, :, j], d2.shape) for j in range(v)
+        ) + (jnp.broadcast_to(colmin[..., None, :], d2.shape),)
+        outs = _variadic_min_reduce(d2, payload, axis=-1)
+    dmin_fwd, colmin_at = outs[0], outs[-1]
+    mutual = dmin_fwd <= colmin_at
+    if mask_a is not None:
+        mutual = mutual & mask_a
+    return jnp.stack(outs[1:-1], axis=-1), mutual
+
+
 def nn_mutual_mask(
     a: jax.Array,
     b: jax.Array,

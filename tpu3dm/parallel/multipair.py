@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu3dm.ops.compact import compaction_permutation
@@ -52,8 +53,27 @@ def ransac_pair_step(
     score_subset: int = 0,
     rescore_top: int = 128,
     sample_mode: str = "roll",
+    sample_rows: int = 0,
+    adapt_iterations: int = 0,
+    confidence: float = 0.999,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
+
+    ``adapt_iterations`` > ``iterations`` enables the ADAPTIVE budget: after
+    the fixed scan, the observed support w = best_count / n_valid is plugged
+    into the reference's own confidence formula N = log(1-c) / log(1-w^3)
+    (src/visualize_matcher/_visualize_matcher.py:356-370 — there used to stop
+    EARLY at high support; here run in reverse to EXTEND at low support), and
+    extra hypothesis chunks run under a ``lax.while_loop`` until the budget
+    satisfies N or reaches ``adapt_iterations``.  At an inlier ratio of ~0.1
+    (a half-cropped low-feature cloud) the formula demands ~6,900 samples —
+    the fixed 4096 under-samples exactly the regime where partial-overlap
+    registrations were measured failing (plate family at overlap 0.5-0.6:
+    25-31% plain success, round 4).  High-support pairs (w >= ~0.12 at the
+    default 32k cap) take zero extra chunks, so the headline regimes are
+    unaffected.  Under vmap the loop runs until every lane's criterion is
+    met (masked lanes keep computing but cannot regress: the election is
+    monotone best-of).
 
     Planar hypothesis chunks (registration/hypotheses.py) under lax.scan;
     optional exact Horn re-fit of the winner on its inlier set.
@@ -137,7 +157,8 @@ def ransac_pair_step(
         Fx, cx, vx = (F_s, c_s, valid_s) if use_subset else (F, c, valid)
         if sample_mode == "roll":
             ga, gb, gc = rolled_sample_gathers(
-                k_chunk, pq, n_valid, batch_size, rank_to_idx=rank_to_idx
+                k_chunk, pq, n_valid, batch_size, rank_to_idx=rank_to_idx,
+                sample_rows=sample_rows,
             )
             return fit_score_gathers(
                 ga, gb, gc, Fx, cx, vx, thresh_sq,
@@ -167,6 +188,38 @@ def ransac_pair_step(
             T, count = refit_inliers(T, count, p_all, q_all, valid, thresh_sq)
         return unshift(T), count
 
+    # Adaptive-budget machinery (see docstring).  ``count_of`` maps a scan
+    # carry to the support count driving the confidence criterion (the
+    # leader's count in both carry layouts).
+    max_extra_chunks = max(0, -(-(adapt_iterations - iterations) // batch_size))
+    log1mc = float(np.log(max(1.0 - confidence, 1e-12)))
+
+    def extend(carry, chunk_fn, count_of):
+        def need_more(st):
+            carry, _, done = st
+            w = jnp.clip(
+                count_of(carry).astype(jnp.float32)
+                / jnp.maximum(n_valid.astype(jnp.float32), 1.0),
+                0.0, 1.0,
+            )
+            w3 = jnp.clip(w * w * w, 0.0, 0.999999)
+            # N = log(1-c)/log(1-w^3); +inf at w=0 (run to the cap).
+            needed = log1mc / jnp.minimum(jnp.log1p(-w3), -1e-12)
+            done_h = jnp.float32(iterations) + done.astype(jnp.float32) * batch_size
+            return (done_h < needed) & (done < max_extra_chunks)
+
+        def more(st):
+            carry, k, done = st
+            k, sub = jax.random.split(k)
+            carry, _ = chunk_fn(carry, sub)
+            return carry, k, done + 1
+
+        # Fresh key stream, disjoint from the scan's split(key, n_chunks).
+        carry, _, _ = jax.lax.while_loop(
+            need_more, more, (carry, jax.random.fold_in(key, 0x5F5E), jnp.int32(0))
+        )
+        return carry
+
     if not two_mode:
 
         def chunk(carry, k_chunk):
@@ -192,9 +245,12 @@ def ransac_pair_step(
                 jnp.where(better, cand_count, best_count),
             ), None
 
-        (best_T, best_count), _ = jax.lax.scan(
+        carry, _ = jax.lax.scan(
             chunk, (jnp.eye(4, dtype=jnp.float32), jnp.int32(-1)), keys
         )
+        if max_extra_chunks > 0:
+            carry = extend(carry, chunk, lambda c: c[1])
+        best_T, best_count = carry
         return finalize(best_T, best_count)
 
     # --- two-mode: track the leader AND the best rotation-far hypothesis ----
@@ -236,9 +292,12 @@ def ransac_pair_step(
         return (T1, c1, T2, c2), None
 
     eye = jnp.eye(4, dtype=jnp.float32)
-    (T1, c1, T2, c2), _ = jax.lax.scan(
+    carry2, _ = jax.lax.scan(
         chunk2, (eye, jnp.int32(-1), eye, jnp.int32(-1)), keys
     )
+    if max_extra_chunks > 0:
+        carry2 = extend(carry2, chunk2, lambda c: c[1])
+    T1, c1, T2, c2 = carry2
     T1, c1 = finalize(T1, c1)
     T2, c2 = finalize(T2, c2)
     return jnp.stack([T1, T2]), jnp.stack([c1, c2])

@@ -38,6 +38,7 @@ from tpu3dm.registration.fused import fused_register_step
         "score_subset",
         "rescore_top",
         "sample_mode",
+        "adapt_iterations",
     ),
 )
 def batched_register(
@@ -63,6 +64,7 @@ def batched_register(
     score_subset: int = 0,
     rescore_top: int = 128,
     sample_mode: str = "roll",
+    adapt_iterations: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register [P, ...] stacked pairs, pair axis sharded over the mesh.
 
@@ -90,5 +92,6 @@ def batched_register(
         score_subset=score_subset,
         rescore_top=rescore_top,
         sample_mode=sample_mode,
+        adapt_iterations=adapt_iterations,
     )
     return jax.vmap(step)(*arrays)

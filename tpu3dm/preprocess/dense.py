@@ -87,13 +87,19 @@ def down_features_dense(
     r2_n = jnp.asarray(normal_radius, jnp.float32) ** 2
     r2_f = jnp.asarray(fpfh_radius, jnp.float32) ** 2
 
-    # One top_k to the larger cap serves both thresholds (slots ascend).
-    kf = min(fpfh_max_nn, n)
-    kn = min(normal_max_nn, n)
-    neg, _ = jax.lax.top_k(-d2, kf)
-    vals = -neg  # [M, kf] ascending
-    th_f = jnp.minimum(vals[:, kf - 1], r2_f)
-    th_n = jnp.minimum(vals[:, kn - 1], r2_n)
+    # One top_k to the LARGER cap serves both thresholds (slots ascend) —
+    # regardless of which cap is larger, and a cap of 0 means uncapped
+    # (radius-only threshold, matching the slot path's fast mode).  The
+    # earlier form indexed vals[:, kn-1] from a kf-wide top_k, which
+    # trace-errored whenever normal_max_nn > fpfh_max_nn or fpfh_max_nn=0.
+    kf = min(fpfh_max_nn, n) if fpfh_max_nn > 0 else 0
+    kn = min(normal_max_nn, n) if normal_max_nn > 0 else 0
+    kmax = max(kf, kn)
+    if kmax > 0:
+        neg, _ = jax.lax.top_k(-d2, kmax)
+        vals = -neg  # [M, kmax] ascending
+    th_f = jnp.minimum(vals[:, kf - 1], r2_f) if kf > 0 else jnp.full((n,), r2_f)
+    th_n = jnp.minimum(vals[:, kn - 1], r2_n) if kn > 0 else jnp.full((n,), r2_n)
 
     # --- normals: masked moment matmuls + closed-form smallest eigvec -----
     wn = (d2 <= th_n[:, None]).astype(jnp.float32)  # includes self (d2=0)

@@ -50,14 +50,14 @@ logger = setup_logging(__name__)
     static_argnames=(
         "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
         "approx_score", "rescue_restarts", "verify_iters",
-        "score_subset", "rescore_top", "sample_mode",
+        "score_subset", "rescore_top", "sample_mode", "adapt_iterations",
     ),
 )
 def _batched_step(
     sp, sf, sm, sn, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
     *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
     rescue_restarts=0, verify_iters=8, score_subset=0, rescore_top=128,
-    sample_mode="roll",
+    sample_mode="roll", adapt_iterations=0,
 ):
     """vmapped fused step; module-level so the executable cache persists."""
     from tpu3dm.registration.fused import fused_register_step
@@ -77,6 +77,7 @@ def _batched_step(
             score_subset=score_subset,
             rescore_top=rescore_top,
             sample_mode=sample_mode,
+            adapt_iterations=adapt_iterations,
         )
 
     return jax.vmap(step)(sp, sf, sm, sn, tp, tf, tm, tn, ks)
@@ -87,14 +88,14 @@ def _batched_step(
     static_argnames=(
         "ransac_iterations", "icp_iterations", "icp_solves_per_nn",
         "approx_score", "rescue_restarts", "verify_iters",
-        "score_subset", "rescore_top", "sample_mode",
+        "score_subset", "rescore_top", "sample_mode", "adapt_iterations",
     ),
 )
 def _batched_step_shared_target(
     sp, sf, sm, tp, tf, tm, tn, ks, dist_thresh, icp_thresh,
     *, ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
     rescue_restarts=0, verify_iters=8, score_subset=0, rescore_top=128,
-    sample_mode="roll",
+    sample_mode="roll", adapt_iterations=0,
 ):
     """vmapped fused step with the TARGET unbatched (broadcast via closure).
 
@@ -125,6 +126,7 @@ def _batched_step_shared_target(
             score_subset=score_subset,
             rescore_top=rescore_top,
             sample_mode=sample_mode,
+            adapt_iterations=adapt_iterations,
         )
 
     return jax.vmap(step)(sp, sf, sm, ks)
@@ -243,6 +245,7 @@ def launch_sources_to_target(
     score_subset: int | None = None,
     rescore_top: int | None = None,
     sample_mode: str = "roll",
+    adapt_iterations: int | None = None,
 ) -> PendingBatch:
     """Async variant of ``register_sources_to_target`` — see PendingBatch."""
     if config is None:
@@ -253,6 +256,8 @@ def launch_sources_to_target(
         score_subset = config.ransac.score_subset
     if rescore_top is None:
         rescore_top = config.ransac.rescore_top
+    if adapt_iterations is None:
+        adapt_iterations = config.ransac.adapt_iterations
     import jax.numpy as jnp
 
     n = len(sources)
@@ -295,6 +300,7 @@ def launch_sources_to_target(
             score_subset=score_subset,
             rescore_top=rescore_top,
             sample_mode=sample_mode,
+            adapt_iterations=adapt_iterations,
         )
         launched.append((cap, idxs, b, out))
         logger.info(
@@ -366,6 +372,7 @@ def launch_pairs_batched(
     score_subset: int | None = None,
     rescore_top: int | None = None,
     sample_mode: str = "roll",
+    adapt_iterations: int | None = None,
     checkpoint=None,
     pair_names: list[str] | None = None,
     pair_keys: np.ndarray | None = None,
@@ -415,6 +422,8 @@ def launch_pairs_batched(
         score_subset = config.ransac.score_subset
     if rescore_top is None:
         rescore_top = config.ransac.rescore_top
+    if adapt_iterations is None:
+        adapt_iterations = config.ransac.adapt_iterations
     if key is None:
         key = jax.random.PRNGKey(0)
     n_pairs = len(pairs)
@@ -474,6 +483,7 @@ def launch_pairs_batched(
                 score_subset=score_subset,
                 rescore_top=rescore_top,
                 sample_mode=sample_mode,
+                adapt_iterations=adapt_iterations,
             )
 
     else:
@@ -491,6 +501,7 @@ def launch_pairs_batched(
                 score_subset=score_subset,
                 rescore_top=rescore_top,
                 sample_mode=sample_mode,
+                adapt_iterations=adapt_iterations,
             )
 
     launched = []

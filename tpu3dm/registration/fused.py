@@ -16,20 +16,51 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dm.core import se3
-from tpu3dm.ops.nn import nn_mutual_mask, nn_search
+from tpu3dm.ops.nn import (
+    nn_mutual_mask,
+    nn_mutual_mask_fold,
+    nn_mutual_vals,
+    nn_search,
+    nn_search_vals,
+    pack_f16_pairs,
+    unpack_f16_pairs,
+)
 from tpu3dm.ops.nn_lane import nn_mutual_mask_hot, nn_search_hot
 from tpu3dm.parallel.multipair import ransac_pair_step
 
 
 def _nn(query, target, qmask, tmask, impl="dense"):
-    """ICP correspondence search.  ``dense`` (default) is the fused XLA
+    """ICP correspondence search (index form).  ``dense`` is the fused XLA
     matmul+argmin — measured FASTER than the lane Pallas kernels at every
     registration shape (ops/nn_lane.py module docstring has the numbers);
     ``lane``/``lane_icp`` route to the lane kernels for experimentation on
-    other toolchains/shapes."""
+    other toolchains/shapes.  The default production path is the
+    value-carrying fold (``_nn_vals``), which never materializes indices."""
     if impl in ("lane", "lane_icp"):
         return nn_search_hot(query, target, qmask, tmask)
     return nn_search(query, target, qmask, tmask)
+
+
+def _nn_rows(query, target, rows, qmask, tmask, impl):
+    """ICP correspondence search returning the winner's payload ROWS.
+
+    ``impl == "values"``/``"values_icp"`` fold the rows through the argmin
+    reduction (ops/nn.py nn_search_vals) — no index materialization, no row
+    gather; ``"values_pk"`` additionally bit-packs the 6-wide payload into
+    3 f16-pair carriers (ops/nn.py pack_f16_pairs) to halve the fold's
+    carried operands — f16 noise (~5e-4) on the correspondence targets
+    averages out of the p2pl normal equations over ~700 points.  Other
+    impls keep the measured-legacy argmin + ``rows[idx]`` sequence
+    (29.5 ms/pass of the round-4 fused-step trace at [2048, 1024, 1024])."""
+    if impl == "values_pk":
+        d2, packed = nn_search_vals(
+            query, target, pack_f16_pairs(rows), qmask, tmask
+        )
+        return d2, unpack_f16_pairs(packed)
+    if impl in ("values", "values_icp", "values_fold"):
+        return nn_search_vals(query, target, rows, qmask, tmask)
+    d2, idx = _nn(query, target, qmask, tmask, impl)
+    return d2, rows[idx]
 
 
 def _solve6_cholesky(A, b):
@@ -135,6 +166,8 @@ def _ransac_with_rescue(
     rescue_restarts,
     verify_iters,
     sample_mode="roll",
+    sample_rows=0,
+    adapt_iterations=0,
     nn_impl="auto",
 ):
     """Batched alias rescue: 2R candidate poses (two RANSAC modes x R
@@ -160,6 +193,8 @@ def _ransac_with_rescue(
             approx_score=approx_score,
             two_mode=True,
             sample_mode=sample_mode,
+            sample_rows=sample_rows,
+            adapt_iterations=adapt_iterations,
         )
 
     Ts, counts = jax.vmap(one_restart)(keys)  # [R, 2, 4, 4], [R, 2]
@@ -193,8 +228,7 @@ def _ransac_with_rescue(
     def verify(T0):
         def it(T, t2):
             pts = se3.apply(T, src_pts)
-            _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
-            g = tgt_pn[idx]
+            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
             q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < t2) & src_mask
             xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
@@ -202,8 +236,9 @@ def _ransac_with_rescue(
 
         T, _ = jax.lax.scan(it, T0, anneal)
         pts = se3.apply(T, src_pts)
-        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
-        d2 = jnp.sum((pts - tgt_pts[idx]) ** 2, axis=1)
+        # The dense NN already returns the winner's true squared distance;
+        # re-deriving it from a gathered row was one more [M, 3] gather.
+        d2, _ = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
         m = (d2 < ver_thresh_sq) & src_mask
         fit = jnp.sum(m.astype(jnp.float32)) / n_src
         # Fine-threshold inlier count: the geometric discriminator.  At the
@@ -267,6 +302,8 @@ def _ransac_with_rescue(
         "score_subset",
         "rescore_top",
         "sample_mode",
+        "sample_rows",
+        "adapt_iterations",
         "nn_impl",
     ),
 )
@@ -295,6 +332,8 @@ def fused_register_step(
     score_subset: int = 0,
     rescore_top: int = 128,
     sample_mode: str = "roll",
+    sample_rows: int = 0,
+    adapt_iterations: int = 0,
     nn_impl: str = "dense",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
@@ -324,25 +363,44 @@ def fused_register_step(
     """
     # --- correspondences in FPFH space -------------------------------------
     valid = src_mask
+    p_all = src_pts
     if mutual_filter:
-        # One distance matrix, min-only backward direction (ops/nn.py
-        # nn_mutual_mask — drops the column argmin + idx_bwd gather);
         # approx_features runs the 33-D feature matmul in bf16 (quality-gated
         # end-to-end by the bench; RANSAC tolerates flipped near-tie matches).
-        if nn_impl == "lane":
+        if nn_impl == "values_fold":
+            # Dense one-shot matmul + fold-carried mutuality (no
+            # take_along_axis); the matched points still gather by index.
+            idx_fwd, mutual = nn_mutual_mask_fold(
+                src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
+            )
+            q_all = tgt_pts[idx_fwd]
+        elif nn_impl in ("values", "values_corr"):
+            # Gather-free: the matched target points AND the mutuality test's
+            # column minimum are folded through the row-argmin reduction
+            # (ops/nn.py nn_mutual_vals) — replaces the take_along_axis +
+            # tgt_pts[idx_fwd] gathers (21.4 + 14.6 ms in the round-4 trace).
+            q_all, mutual = nn_mutual_vals(
+                src_feat, tgt_feat, tgt_pts, src_mask, tgt_mask,
+                approx=approx_features,
+            )
+        elif nn_impl == "lane":
             idx_fwd, mutual = nn_mutual_mask_hot(
                 src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
             )
+            q_all = tgt_pts[idx_fwd]
         else:
-            # Dense bf16 formulation — the measured winner (see _nn).
+            # Dense min-only formulation (ops/nn.py nn_mutual_mask — drops
+            # the column argmin + idx_bwd gather).
             idx_fwd, mutual = nn_mutual_mask(
                 src_feat, tgt_feat, src_mask, tgt_mask, approx=approx_features
             )
+            q_all = tgt_pts[idx_fwd]
         valid = valid & mutual
+    elif nn_impl == "values":
+        _, q_all = nn_search_vals(src_feat, tgt_feat, tgt_pts, src_mask, tgt_mask)
     else:
         _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask, nn_impl)
-    p_all = src_pts
-    q_all = tgt_pts[idx_fwd]
+        q_all = tgt_pts[idx_fwd]
 
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     if rescue_restarts > 0:
@@ -358,6 +416,8 @@ def fused_register_step(
             rescue_restarts=rescue_restarts,
             verify_iters=verify_iters,
             sample_mode=sample_mode,
+            sample_rows=sample_rows,
+            adapt_iterations=adapt_iterations,
             nn_impl=nn_impl,
         )
     else:
@@ -374,6 +434,8 @@ def fused_register_step(
             score_subset=score_subset,
             rescore_top=rescore_top,
             sample_mode=sample_mode,
+            sample_rows=sample_rows,
+            adapt_iterations=adapt_iterations,
         )
     fitness = count.astype(jnp.float32) / n_valid.astype(jnp.float32)
 
@@ -397,8 +459,7 @@ def fused_register_step(
 
     def icp_iter(T, _):
         pts = se3.apply(T, src_pts)
-        _, idx = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
-        g = tgt_pn[idx]
+        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
         q, n = g[:, :3], g[:, 3:]
         T, rmse = solve_step(T, pts, q, n)
         for _ in range(icp_solves_per_nn - 1):  # static unroll

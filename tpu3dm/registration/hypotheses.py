@@ -223,6 +223,7 @@ def rolled_sample_gathers(
     k: int,
     *,
     rank_to_idx: jax.Array | None = None,
+    sample_rows: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Hypothesis sample gathers (ga, gb, gc [K, 6]) from ONE [M] row gather.
 
@@ -248,17 +249,25 @@ def rolled_sample_gathers(
     mapped through it — one extra [M] int gather instead of compacting the
     whole correspondence set (3 row gathers) up front.
 
-    The sample row count is capped at ``max(256, k // 8)``: the two sampler
-    gathers run at ELEMENT rate and were the largest RANSAC floor
+    The sample row count defaults to a cap of ``max(256, k // 8)``: the two
+    sampler gathers run at ELEMENT rate and were the largest RANSAC floor
     components in the round-4 profiler trace (21.4 + 14.8 ms of a 211 ms
     fused step at M=1024, B=2048 — docs/ROOFLINE.md op-level table), and
     they scale with the sampled-row count, not K.  Halving the rows
     doubles per-row triple reuse (24x at K=4096 — the independent sampler
     already reused rows ~17x), which leaves the marginal triple
     distribution unchanged; quality gates re-validated on chip.
+    ``sample_rows`` overrides the cap (RansacConfig.sample_rows semantics:
+    0 = default cap, -1 = uncapped, >0 = explicit row count) for
+    robustness-critical callers that want maximal inter-triple diversity.
     """
     m = pq.shape[0]
-    m_s = min(m, max(256, k // 8))
+    if sample_rows < 0:
+        m_s = m
+    elif sample_rows > 0:
+        m_s = min(m, max(8, sample_rows))
+    else:
+        m_s = min(m, max(256, k // 8))
     nv = jnp.maximum(n_valid, 3).astype(jnp.uint32)
     bits = jax.random.bits(key, (m_s,), jnp.uint32)
     ranks = (bits % nv).astype(jnp.int32)

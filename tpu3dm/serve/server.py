@@ -157,10 +157,16 @@ class RegistrationServer:
             def handle(self) -> None:  # noqa: D102 - protocol loop
                 limit = outer.max_line_bytes
                 while True:
-                    line = self.rfile.readline(limit + 1)
+                    # limit+2 so a payload of EXACTLY limit bytes plus its
+                    # newline (limit+1 bytes on the wire) reads complete and
+                    # is accepted — the bound is on the payload, newline
+                    # excluded; limit+2 also distinguishes at-limit from
+                    # truncated (a cap-length read with no newline).
+                    line = self.rfile.readline(limit + 2)
                     if not line:
                         return
-                    if len(line) > limit:
+                    payload_len = len(line) - 1 if line.endswith(b"\n") else len(line)
+                    if payload_len > limit:
                         # Oversized request: answer once, then drop the
                         # connection — the rest of the line is unread
                         # garbage we must not parse as a new request.
