@@ -492,8 +492,12 @@ def _fresh_stream_phase(cfg) -> None:
     tmp = tempfile.mkdtemp(prefix="tpu3dm_stream_")
     try:
         t0 = time.time()
+        # Three-family manifest (round 5): arch / CAD plate / virtual-scan
+        # pairs cycle, so the gated fresh number covers scanner pathology
+        # (shadowing, anisotropic density, speckle), not just clean arches.
+        family = _os.environ.get("TPU3DM_BENCH_STREAM_FAMILY", "mix")
         pair_paths, trues, moments = make_stream_manifest(
-            tmp, n_pairs, n_points=_N_POINTS, sigma=0.01
+            tmp, n_pairs, n_points=_N_POINTS, sigma=0.01, family=family
         )
         log(f"stream manifest: {2 * n_pairs} fresh PLYs written in {time.time()-t0:.1f}s")
         # rescue_restarts=2 is the production robustness config: across

@@ -161,6 +161,7 @@ def test_cli_multiway(tmp_path):
     assert min(poses["edge_fitness"]) > 0.5
 
 
+@pytest.mark.slow
 def test_multiway_benchmark_smoke(tmp_path):
     """Structure check at tiny scale (quality is validated at the real
     20k-point config by the committed artifact — small arches can

@@ -37,6 +37,7 @@ def test_batched_recovers_transforms(mixed_pairs):
         assert res.ransac_fitness[i] > 0.2
 
 
+@pytest.mark.slow
 def test_buckets_are_tight(mixed_pairs):
     """Small pairs must NOT be dragged to the big pair's capacity."""
     cfg, pairs, _ = mixed_pairs
@@ -313,6 +314,42 @@ def test_rescue_transfers_to_plate_family():
         ps, pt = preprocess_points_batch([src, tgt], cfg.preprocess,
                                          full_normals=False)
         keys = np.asarray(jax.random.split(jax.random.PRNGKey(77), seeds))
+        outs = {}
+        for tag, rr in (("plain", 0), ("rescue", 4)):
+            res = register_pairs_batched(
+                [(ps, pt)] * seeds, cfg, pair_keys=keys,
+                ransac_iterations=2048, rescue_restarts=rr,
+            )
+            M = res.transforms[:, :3, :3] @ T_true[:3, :3].T
+            tr = np.clip((np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)
+            outs[tag] = np.degrees(np.arccos(tr))
+        ok_plain = (outs["plain"] < 2.0).sum()
+        ok_rescue = (outs["rescue"] < 2.0).sum()
+        assert ok_rescue >= ok_plain, (overlap, outs)
+        assert ok_rescue == seeds, (overlap, outs["rescue"])
+
+
+@pytest.mark.slow
+def test_rescue_transfers_to_scan_family():
+    """Same transfer check on the scan family (round 5): two INDEPENDENT
+    virtual scans of the arch with shadowing, anisotropic density and
+    flying-pixel speckle (io/synthetic.scanned_arch_cloud) — the
+    closest model of the reference's real dental-scan data available.
+    Rescue must never do worse than plain, and both must recover
+    full-overlap poses."""
+    import jax
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    seeds = 4
+    for overlap in (1.0, 0.8):
+        src, tgt, T_true = make_benchmark_pair(
+            6000, seed=13, overlap=overlap, sigma=0.0, family="scan"
+        )
+        ps, pt = preprocess_points_batch(
+            [src.astype(np.float32), tgt.astype(np.float32)],
+            cfg.preprocess, full_normals=False,
+        )
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(78), seeds))
         outs = {}
         for tag, rr in (("plain", 0), ("rescue", 4)):
             res = register_pairs_batched(

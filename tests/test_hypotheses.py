@@ -355,10 +355,10 @@ class TestAdaptiveBudget:
         from tpu3dm.registration.hypotheses import rolled_sample_gathers
 
         rng = np.random.default_rng(4)
-        pq = jnp.asarray(rng.normal(size=(512, 6)).astype(np.float32))
+        pq = jnp.asarray(rng.normal(size=(128, 6)).astype(np.float32))
         key = jax.random.PRNGKey(0)
-        for rows in (0, -1, 128, 4):
+        for rows in (0, -1, 64, 4):
             ga, gb, gc = rolled_sample_gathers(
-                key, pq, jnp.int32(512), 1024, sample_rows=rows
+                key, pq, jnp.int32(128), 256, sample_rows=rows
             )
-            assert ga.shape == gb.shape == gc.shape == (1024, 6)
+            assert ga.shape == gb.shape == gc.shape == (256, 6)

@@ -139,6 +139,7 @@ class TestLargeICP:
         rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
         assert rmse < 0.02, rmse
 
+    @pytest.mark.slow
     def test_register_arrays_large_end_to_end(self):
         """Full large-cloud pipeline, including the symmetry-alias seed (13)
         where single-shot RANSAC ties the wrong pose (rot 63 deg) and only

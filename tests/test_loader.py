@@ -62,6 +62,7 @@ def test_voxel_downsample_many_matches_serial(manifest_files):
         )
 
 
+@pytest.mark.slow
 def test_window_iterator_covers_manifest_and_skips(manifest_files):
     _, paths = manifest_files
     cfg = PipelineConfig.with_voxel_size(0.3).preprocess
@@ -91,6 +92,7 @@ def test_window_iterator_propagates_ingest_error(manifest_files, tmp_path):
             pass
 
 
+@pytest.mark.slow
 def test_cli_register_batch_windowed_matches_whole(manifest_files, tmp_path):
     """--window N streams ingest but must register every pair with the same
     per-pair key as the whole-manifest mode -> identical transforms."""
@@ -119,6 +121,7 @@ def test_cli_register_batch_windowed_matches_whole(manifest_files, tmp_path):
         assert w["ransac_fitness"] > 0.2
 
 
+@pytest.mark.slow
 def test_pair_keys_override_matches_positional_split():
     import jax
 

@@ -468,7 +468,7 @@ def test_fused_step_values_impl_matches_dense():
     from tpu3dm.registration.fused import fused_register_step
 
     cfg = PipelineConfig.with_voxel_size(0.3)
-    sp, tp, _ = make_benchmark_pair(3000, seed=3, sigma=0.01)
+    sp, tp, _ = make_benchmark_pair(1500, seed=3, sigma=0.01)
     src = preprocess_points(sp, cfg.preprocess)
     tgt = preprocess_points(tp, cfg.preprocess)
     sd, td = src.down, tgt.down

@@ -294,3 +294,99 @@ class TestFpfhVsOracle:
                 want = -want
             dot = abs(float(np.dot(got[i], want)))
             assert dot > 0.99, f"point {i}: |cos| = {dot}"
+
+
+# ---------------------------------------------------------------------------
+# Real-Open3D cross-oracle (round 5, verdict item 8)
+# ---------------------------------------------------------------------------
+# The FPFH/normals/ICP oracles above are independent NumPy TRANSCRIPTIONS of
+# Open3D's C++ (Feature.cpp, Registration.cpp) — a transcription error would
+# be invisible to every test in this repo.  This test compares against the
+# REAL library whenever `open3d` is importable.  In the round-5 build
+# environment it is not installable (zero network egress: pip cannot resolve
+# pypi.org — attempted and documented in docs/STATUS.md), so the test skips
+# there; any environment with the CPU wheel closes the provenance loop by
+# just running pytest.
+
+def test_fpfh_matches_real_open3d():
+    """FPFH histograms vs o3d.pipelines.registration.compute_fpfh_feature
+    on a small fixture (reference call: src/ply/ply.py:117-120)."""
+    open3d = pytest.importorskip(
+        "open3d", reason="open3d not installed (no egress in build env)"
+    )
+    import jax.numpy as jnp
+
+    from tpu3dm.core.cloud import from_numpy
+    from tpu3dm.preprocess.fpfh import compute_fpfh_capped
+    from tpu3dm.preprocess.normals import estimate_normals_capped
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3)).astype(np.float64)
+    radius_n, radius_f = 0.8, 2.0
+
+    pcd = open3d.geometry.PointCloud()
+    pcd.points = open3d.utility.Vector3dVector(pts)
+    pcd.estimate_normals(
+        open3d.geometry.KDTreeSearchParamHybrid(radius=radius_n, max_nn=30)
+    )
+    feat = open3d.pipelines.registration.compute_fpfh_feature(
+        pcd, open3d.geometry.KDTreeSearchParamHybrid(radius=radius_f, max_nn=100)
+    )
+    ref = np.asarray(feat.data).T  # [N, 33]
+
+    pc = from_numpy(pts.astype(np.float32))
+    pc = estimate_normals_capped(pc, jnp.float32(radius_n), max_nn=30)
+    # Use Open3D's normals (orientation conventions differ; FPFH angles use
+    # the normal DIRECTION, so feed the oracle's normals for a pure FPFH
+    # comparison).
+    pc = pc.with_(normals=jnp.asarray(np.asarray(pcd.normals), np.float32))
+    pc = compute_fpfh_capped(pc, jnp.float32(radius_f), max_nn=100)
+    got = np.asarray(pc.features)[: pts.shape[0]]
+    # fp32-vs-fp64 bin-boundary flips move a few entries between adjacent
+    # bins; compare in L1 per point against the ~200 total mass.
+    l1 = np.abs(got - ref).sum(axis=1)
+    assert np.median(l1) < 2.0, np.median(l1)
+    assert l1.max() < 40.0, l1.max()
+
+
+def test_icp_matches_real_open3d():
+    """Point-to-plane ICP fitness/RMSE vs o3d.pipelines.registration
+    (reference call: src/matcher/icp.py:42-48)."""
+    open3d = pytest.importorskip(
+        "open3d", reason="open3d not installed (no egress in build env)"
+    )
+    import jax.numpy as jnp
+
+    from tpu3dm.registration.icp import icp_refine
+
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(500, 3)).astype(np.float64)
+    R = np.array([[0.9995, -0.03, 0.0], [0.03, 0.9995, 0.0], [0.0, 0.0, 1.0]])
+    u, _, vt = np.linalg.svd(R)
+    R = u @ vt
+    tgt = src @ R.T + np.array([0.02, -0.01, 0.03])
+
+    ps = open3d.geometry.PointCloud()
+    ps.points = open3d.utility.Vector3dVector(src)
+    pt = open3d.geometry.PointCloud()
+    pt.points = open3d.utility.Vector3dVector(tgt)
+    pt.estimate_normals(
+        open3d.geometry.KDTreeSearchParamHybrid(radius=1.0, max_nn=30)
+    )
+    thresh = 0.2
+    ref = open3d.pipelines.registration.registration_icp(
+        ps, pt, thresh, np.eye(4),
+        open3d.pipelines.registration.TransformationEstimationPointToPlane(),
+        open3d.pipelines.registration.ICPConvergenceCriteria(max_iteration=30),
+    )
+
+    from tpu3dm.core.cloud import from_numpy
+    s_pc = from_numpy(src.astype(np.float32))
+    t_pc = from_numpy(tgt.astype(np.float32)).with_(
+        normals=jnp.asarray(np.asarray(pt.normals), np.float32)
+    )
+    res = icp_refine(
+        s_pc, t_pc, jnp.eye(4), dist_thresh=thresh, max_iterations=30,
+    )
+    assert abs(float(res.fitness) - ref.fitness) < 0.02
+    assert abs(float(res.inlier_rmse) - ref.inlier_rmse) < 0.01

@@ -114,6 +114,7 @@ def test_batched_ransac_pair_dp(mesh4x2):
         assert float(fit[i]) > 0.55
 
 
+@pytest.mark.slow
 def test_batched_register_mesh_invariant():
     """The sharded batched register step recovers the same pose on a
     1-device and an 8-device mesh.

@@ -154,6 +154,7 @@ def test_batch_preprocess_matches_single():
         np.testing.assert_allclose(np.abs((nrm_b * nrm_s).sum(1)), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_shared_knn_scan_matches_separate_capped():
     """down_features(share_knn=True) — ONE k=fpfh_max_nn scan feeding both
     capped normals and capped FPFH — must reproduce the two-scan capped
@@ -286,7 +287,7 @@ def test_dense_features_cap_edge_cases():
     raw = dental_arch_cloud(2000, seed=5)
     down = voxel_downsample_host(raw, pp.voxel_size)
     m = np.asarray(down.mask)
-    pc = from_numpy(np.asarray(down.points)[m], capacity=512)
+    pc = from_numpy(np.asarray(down.points)[m], capacity=640)
 
     for kn, kf in ((30, 100), (100, 30), (30, 0), (0, 100), (0, 0)):
         out = down_features_dense(

@@ -484,6 +484,8 @@ def run_serve_benchmark(
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
     overlap_ab: bool = False,
+    offered_rates: tuple = (50, 150, 250),
+    offered_duration_s: float = 8.0,
     out_json: str = "benchmark_serve.json",
 ) -> dict:
     """Online-serving benchmark: sustained requests/s through the
@@ -593,6 +595,71 @@ def run_serve_benchmark(
             prewarm_s, caps, first_request_ms,
         )
         wall, results, engine_stats = run_flood(engine)
+
+        # --- offered-load latency: p50/p95 BELOW saturation ---------------
+        # The flood saturates the engine (512 at once -> queue p50 ~500 ms),
+        # which measures capacity, not the latency a serving user sees.
+        # Here requests arrive as a Poisson process at fixed offered rates
+        # and the decomposed percentiles are measured per rate.
+        offered_rows = []
+        rng = np.random.default_rng(42)
+        for rate in offered_rates:
+            engine.reset_latency_window()
+            futs = []
+            t0 = time.time()
+            next_t = t0
+            t_end = t0 + offered_duration_s
+            i = 0
+            while True:
+                now = time.time()
+                if now >= t_end:
+                    break
+                if now < next_t:
+                    time.sleep(min(next_t - now, 0.02))
+                    continue
+                futs.append(engine.submit(*pairs[i % n_distinct]))
+                i += 1
+                next_t += rng.exponential(1.0 / rate)
+            for f in futs:
+                f.result(timeout=1200)
+            st = engine.stats()
+            lat = st.get("latency_ms") or {}
+            que = st.get("queue_ms") or {}
+            pack = st.get("pack_ms_per_batch") or {}
+            dev = st.get("device_ms_per_batch") or {}
+            # PCIe projection (arithmetic): pack includes the FENCED wire
+            # upload through the ~70 MB/s tunnel; a PCIe v4 host moves the
+            # same bytes at >= 12 GB/s.  Upload bytes per micro-batch =
+            # batch * cap * ~160 B (points+features+mask+normals fp32), so
+            # the projection replaces the tunnel pack p50 with the PCIe
+            # upload time plus the (unmeasurable-here) CPU pack share,
+            # conservatively kept at 20% of measured pack.
+            mb = float(st.get("mean_batch_size") or 1.0)
+            upload_mb = mb * caps[-1] * 160 / 1e6
+            pcie_pack_ms = upload_mb / 12_000.0 * 1e3 + 0.2 * pack.get("p50", 0.0)
+            proj50 = (
+                lat.get("p50", 0.0) - pack.get("p50", 0.0) + pcie_pack_ms
+                if lat and pack else None
+            )
+            offered_rows.append({
+                "offered_req_per_sec": rate,
+                "achieved_req_per_sec": round(i / offered_duration_s, 1),
+                "requests": i,
+                "latency_ms": {k: round(v, 1) for k, v in lat.items()},
+                "queue_ms": {k: round(v, 1) for k, v in que.items()},
+                "pack_ms_per_batch": {k: round(v, 1) for k, v in pack.items()},
+                "device_ms_per_batch": {k: round(v, 1) for k, v in dev.items()},
+                "mean_batch_size": round(mb, 1),
+                "latency_p50_pcie_projected_ms": (
+                    round(proj50, 1) if proj50 is not None else None
+                ),
+            })
+            logger.info(
+                "offered %d req/s: p50 %.0f ms, p95 %.0f ms (queue p50 %.0f, "
+                "pack p50 %.0f, device p50 %.0f; PCIe-projected p50 %.0f)",
+                rate, lat.get("p50", 0), lat.get("p95", 0), que.get("p50", 0),
+                pack.get("p50", 0), dev.get("p50", 0), proj50 or 0,
+            )
     finally:
         engine.close()
 
@@ -639,6 +706,8 @@ def run_serve_benchmark(
         "device_ms_per_batch": engine_stats.get("device_ms_per_batch"),
         "pipeline_depth": serve_cfg.pipeline_depth,
         "pipeline_ab_variant": baseline,
+        "offered_load": offered_rows,
+        "prewarm_parallel": 4,
         "rot_err_deg_max": round(max(rot_errs), 3),
         "quality_ok": max(rot_errs) < 2.0,
         "config": {
@@ -810,7 +879,7 @@ def run_overlap_benchmark(
 
     cfg = PipelineConfig.with_voxel_size(voxel_size)
     families = {}
-    for family in ("arch", "plate"):
+    for family in ("arch", "plate", "scan"):
         rows = []
         for ov in overlaps:
             src, tgt, T_true = make_benchmark_pair(

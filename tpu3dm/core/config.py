@@ -103,8 +103,12 @@ class RansacConfig:
     # (_visualize_matcher.py:356-370 run in reverse: the reference stops
     # early at high support; this extends at low support).  0 = fixed
     # budget.  High-support pairs take zero extra chunks, so enabling it
-    # costs nothing outside the hard-pair regime.
-    adapt_iterations: int = 0
+    # costs nothing outside the hard-pair regime.  Default 32768 = 8x the
+    # fixed 4096 budget: covers observed support down to w ~ 0.06 (the
+    # plate family at overlap 0.4 measures w ~ 0.1); every headline regime
+    # has fitness >= 0.25, far above the w < 0.119 trigger point, so the
+    # default is free there (round-5 on-chip gates unchanged).
+    adapt_iterations: int = 32768
 
     @property
     def dist_thresh(self) -> float:

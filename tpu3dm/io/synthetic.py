@@ -169,6 +169,97 @@ def plate_with_holes_cloud(
     return pts
 
 
+def _arch_point(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Closed-form dental-arch surface point for parameters (u, v) — the
+    same parametrization as ``dental_arch_cloud``, exposed so the scanner
+    model can differentiate it numerically for surface normals."""
+    arch_r = 5.0
+    tube_r = 1.2 + 0.35 * np.sin(6.0 * u) * np.sin(2.0 * v)
+    cx = arch_r * np.sin(u)
+    cy = arch_r * (np.cos(u) - 1.0)
+    x = cx + tube_r * np.cos(v) * np.sin(u) * 0.4
+    y = cy + tube_r * np.cos(v) * np.cos(u) * 0.4
+    z = tube_r * np.sin(v)
+    return np.stack([x, y, z], axis=1)
+
+
+def scanned_arch_cloud(
+    n: int = 20_000,
+    *,
+    seed: int = 0,
+    view: tuple = (0.0, -4.0, 9.0),
+    range_noise: float = 0.004,
+    lateral_noise: float = 0.001,
+    speckle_frac: float = 0.01,
+    n_shadows: int = 5,
+    shadow_r: float = 0.7,
+) -> np.ndarray:
+    """Third benchmark family: the arch as a REAL SCANNER would see it.
+
+    The arch and plate families are clean uniform surface samples; real
+    structured-light/intraoral scans (the reference's dataset shape,
+    convert_stl-ply.py:3 — git-ignored, unavailable) differ in four ways,
+    all modeled here:
+
+      - **view-dependent density**: sampling probability falls with the
+        grazing angle between the surface normal (numeric derivative of
+        the closed-form surface) and the ray to the scanner at ``view`` —
+        surfaces facing the scanner are dense, grazing ones sparse;
+      - **occlusion shadows**: ``n_shadows`` random surface patches of
+        radius ``shadow_r`` are dropped entirely (self-occlusion /
+        line-of-sight shadowing);
+      - **anisotropic range noise**: noise is ``range_noise`` ALONG the
+        viewing ray (depth uncertainty) but only ``lateral_noise`` across
+        it — unlike the isotropic ``sigma`` of the clean families;
+      - **flying-pixel speckle**: ``speckle_frac`` of points land off the
+        surface along their ray (depth outliers at silhouette edges).
+
+    Two calls with different seeds/views sample DIFFERENT points of the
+    same underlying surface — so a scan pair is a genuine two-scan
+    registration problem, not a permuted copy.
+    """
+    rng = np.random.default_rng(seed)
+    view_p = np.asarray(view, np.float64)
+    m = n * 4
+    u = rng.uniform(-0.5 * np.pi, 0.5 * np.pi, size=m)
+    v = rng.uniform(0.0, np.pi, size=m)
+    p = _arch_point(u, v)
+    eps = 1e-4
+    pu = (_arch_point(u + eps, v) - p) / eps
+    pv = (_arch_point(u, v + eps) - p) / eps
+    nrm = np.cross(pu, pv)
+    nlen = np.linalg.norm(nrm, axis=1)
+    nrm = nrm / np.maximum(nlen, 1e-12)[:, None]
+    ray = view_p[None, :] - p
+    rlen = np.linalg.norm(ray, axis=1)
+    rayn = ray / np.maximum(rlen, 1e-12)[:, None]
+    # Parametric normals have ambiguous orientation; |cos| keeps the
+    # grazing-angle falloff (the density effect) either way.
+    cosang = np.abs(np.sum(nrm * rayn, axis=1))
+    keep = rng.random(m) < np.clip(cosang, 0.0, 1.0) ** 0.7
+    p, rayn = p[keep], rayn[keep]
+    # Occlusion shadows: drop whole patches.
+    for _ in range(n_shadows):
+        c = p[rng.integers(0, p.shape[0])]
+        far = np.sum((p - c) ** 2, axis=1) > shadow_r**2
+        p, rayn = p[far], rayn[far]
+    n_speckle = int(n * speckle_frac)
+    n_surf = min(n - n_speckle, p.shape[0])
+    sel = rng.permutation(p.shape[0])[:n_surf]
+    p, rayn = p[sel], rayn[sel]
+    # Anisotropic sensor noise: range along the ray, lateral across it.
+    p = p + rayn * (range_noise * rng.standard_normal(n_surf))[:, None]
+    lat = lateral_noise * rng.standard_normal((n_surf, 3))
+    lat -= rayn * np.sum(lat * rayn, axis=1)[:, None]
+    p = p + lat
+    # Flying pixels: depth outliers along rays of random surface points.
+    if n_speckle > 0:
+        js = rng.integers(0, n_surf, n_speckle)
+        fly = p[js] + rayn[js] * rng.uniform(0.2, 2.0, n_speckle)[:, None]
+        p = np.concatenate([p, fly])
+    return p
+
+
 def crop_fraction(points: np.ndarray, fraction: float, axis: int = 0) -> np.ndarray:
     """Axis-aligned crop keeping the lower ``fraction`` of points along
     ``axis`` — the headless analog of the reference's interactive trim
@@ -199,11 +290,19 @@ def make_benchmark_pair(
     rng = np.random.default_rng(seed)
     if family == "arch":
         src = dental_arch_cloud(n, seed=seed)
+        tgt = src.copy()
     elif family == "plate":
         src = plate_with_holes_cloud(n, seed=seed)
+        tgt = src.copy()
+    elif family == "scan":
+        # Two INDEPENDENT scans of the same surface from different scanner
+        # poses (scanned_arch_cloud): distinct samplings, distinct shadow
+        # patterns, anisotropic noise — a genuine two-scan registration
+        # problem rather than a transformed copy.
+        src = scanned_arch_cloud(n, seed=seed, view=(0.0, -4.0, 9.0))
+        tgt = scanned_arch_cloud(n, seed=seed + 1000, view=(2.5, -6.5, 7.0))
     else:
         raise ValueError(f"unknown benchmark family: {family!r}")
-    tgt = src.copy()
     if overlap < 1.0:
         tgt = crop_fraction(tgt, overlap, axis=0)
     angles = rng.uniform(-np.pi / 6, np.pi / 6, size=3)

@@ -570,6 +570,7 @@ def nn_mutual_vals(
     *,
     approx: bool = False,
     chunk: int = 256,
+    cross_dtype=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward-NN payload rows + mutuality mask, fully gather-free.
 
@@ -592,13 +593,22 @@ def nn_mutual_vals(
     reused [B, N, chunk] tile (2.1 GB at 256) — the difference between
     fitting and OOM on a 16 GB chip (measured round 5).
 
+    ``cross_dtype`` (e.g. ``jnp.bfloat16``) stores the matmul output
+    compactly: at the fused-step shape the fp32 cross is 8.6 GB — the
+    margin between the one-shot fold fitting and OOM — and every reduce
+    pass over it is HBM-read-bound, so bf16 halves both.  bf16 OUTPUT
+    rounding (relative ~0.4% of the cross magnitude) is ~5x the already-
+    accepted ``approx`` input-rounding error; it flips only near-tie
+    feature matches, which RANSAC exists to tolerate (end-to-end quality
+    gates verify).
+
     Returns (vals [..., Na, V], mutual [..., Na]).
     """
     v = values.shape[-1]
 
     def _cross(qa, qb):
         if approx:
-            return jax.lax.dot_general(
+            c = jax.lax.dot_general(
                 qa.astype(jnp.bfloat16),
                 qb.astype(jnp.bfloat16),
                 dimension_numbers=(
@@ -607,7 +617,11 @@ def nn_mutual_vals(
                 ),
                 preferred_element_type=jnp.float32,
             )
-        return jnp.einsum("...nd,...md->...nm", qa, qb)
+        else:
+            c = jnp.einsum("...nd,...md->...nm", qa, qb)
+        if cross_dtype is not None:
+            c = c.astype(cross_dtype)
+        return c
 
     _, asq = _prep(a, mask_a)
     _, bsq = _prep(b, mask_b)

@@ -56,6 +56,7 @@ def ransac_pair_step(
     sample_rows: int = 0,
     adapt_iterations: int = 0,
     confidence: float = 0.999,
+    n_modes: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-pair fixed-budget RANSAC core (vmap-friendly).
 
@@ -259,6 +260,60 @@ def ransac_pair_step(
     def rot_close(Ta, Tb):
         cosang = (jnp.trace(Ta[:3, :3].T @ Tb[:3, :3]) - 1.0) * 0.5
         return cosang >= cos_thr
+
+    if n_modes > 2:
+        # --- N-mode: track n_modes rotation-separated support peaks --------
+        # Quasi-periodic geometry (the arch's ~60-degree cusp wrap) under
+        # scanner-degraded features produces MULTIPLE aliases whose
+        # correspondence support EXCEEDS the true pose's (measured round 5,
+        # scan family: truth w=0.12 vs alias 0.19 at full overlap) — with
+        # only two tracked modes the truth is often not among the rescue's
+        # candidates at all.  Each chunk contributes its n_modes best
+        # rotation-separated peaks (iterative argmax + rotation-near
+        # masking); the carry re-selects greedily from carry+new.
+        def peaks_of(R, t, counts):
+            Ts, cs, cw = [], [], counts
+            for _ in range(n_modes):
+                k = jnp.argmax(cw)
+                Tk = winner_T(R, t, k)
+                Ts.append(Tk)
+                cs.append(cw[k])
+                cw = jnp.where(rot_cos_planar(Tk, R) >= cos_thr, -1, cw)
+            return jnp.stack(Ts), jnp.stack(cs)
+
+        def reselect(allT, allc):
+            outT, outc, aw = [], [], allc
+            for _ in range(n_modes):
+                k = jnp.argmax(aw)
+                Tk = allT[k]
+                outT.append(Tk)
+                outc.append(aw[k])  # -1 for rotation-duplicates of a taken mode
+                cosang = (
+                    jnp.sum(Tk[:3, :3] * allT[:, :3, :3], axis=(1, 2)) - 1.0
+                ) * 0.5
+                aw = jnp.where(cosang >= cos_thr, -1, aw)
+            return jnp.stack(outT), jnp.stack(outc)
+
+        def chunk_n(carry, k_chunk):
+            Ts, cs = carry
+            R, t, counts = fit_chunk(k_chunk)
+            newT, newc = peaks_of(R, t, counts)
+            return reselect(
+                jnp.concatenate([Ts, newT]), jnp.concatenate([cs, newc])
+            ), None
+
+        eye_n = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_modes, 4, 4))
+        carry_n, _ = jax.lax.scan(
+            chunk_n, (eye_n, jnp.full((n_modes,), -1, jnp.int32)), keys
+        )
+        if max_extra_chunks > 0:
+            carry_n = extend(carry_n, chunk_n, lambda c: c[1][0])
+        Ts_n, cs_n = carry_n
+        outs = [finalize(Ts_n[i], cs_n[i]) for i in range(n_modes)]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
 
     def merge(T1, c1, T2, c2, Tc, cc):
         """Fold candidate (Tc, cc) into the two mode slots (branchless).

@@ -36,6 +36,8 @@ resolution for all but boundary pairs).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,10 @@ from tpu3dm.ops.eigh3 import smallest_eigvec_sym3
 from tpu3dm.preprocess.fpfh import _EPS, _NBINS, _pair_features
 
 BIG = 1.0e12
+
+# Column-chunk width for the SPFH pair-feature scan (see down_features_dense).
+# 0 = one-shot [M, M] formulation; overridable for A/B via env.
+_PAIR_CHUNK = int(os.environ.get("TPU3DM_FPFH_PAIR_CHUNK", "128"))
 
 
 def _dense_d2(pts: jax.Array, mask: jax.Array) -> jax.Array:
@@ -116,32 +122,90 @@ def down_features_dense(
     nrm = jnp.where(m[:, None], v, 0.0)
 
     # --- FPFH: dense pair features + histogram contractions ---------------
-    nb = (d2 <= th_f[:, None]) & (d2 > _EPS)  # exclude self
-    pj = jnp.broadcast_to(pts[None, :, :], (n, n, 3))
-    njn = jnp.broadcast_to(nrm[None, :, :], (n, n, 3))
-    dp = pts[None, :, :] - pts[:, None, :]
-    dist = jnp.sqrt(d2)
-    theta, alpha, phi = _pair_features(pts, nrm, pj, njn, dp, dist, nb)
+    # Column-chunked SPFH: the one-shot formulation materialized the full
+    # [M, M]-pair Darboux chain (theta/alpha/phi plus a [M, M, 11] one-hot)
+    # through HBM — measured ~100x off VPU op rate (181 ms per 256-cloud
+    # window, docs/ROOFLINE.md).  Scanning over column chunks bounds every
+    # intermediate to one [M, C] tile whose elementwise producers fuse
+    # straight into 33 per-bin masked-count reductions (bin counts are
+    # integer sums — order-independent, so results are bit-identical to
+    # the one-shot form).  _PAIR_CHUNK=0 restores the one-shot formulation
+    # (the A/B oracle).
+    nb = (d2 <= th_f[:, None]) & (d2 > _EPS)  # exclude self; wgt matmul below
 
-    cnt = nb.astype(jnp.float32).sum(axis=1)
-    hist_incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
-    iota = jnp.arange(_NBINS, dtype=jnp.int32)
-    nbf = nb.astype(jnp.float32)
-
-    def hist11(x, lo, hi):
+    def hist_of(x, lo, hi, nbc):
         b = jnp.floor((x - lo) / (hi - lo) * _NBINS).astype(jnp.int32)
         b = jnp.clip(b, 0, _NBINS - 1)
-        onehot = (b[..., None] == iota).astype(jnp.float32)
-        return jnp.einsum("nm,nmb->nb", nbf, onehot)
+        return jnp.stack(
+            [
+                jnp.sum(jnp.where((b == k) & nbc, 1.0, 0.0), axis=1)
+                for k in range(_NBINS)
+            ],
+            axis=1,
+        )
 
-    spfh = jnp.concatenate(
-        [
-            hist11(theta, -jnp.pi, jnp.pi),
-            hist11(alpha, -1.0, 1.0),
-            hist11(phi, -1.0, 1.0),
-        ],
-        axis=1,
-    ) * hist_incr[:, None]
+    if _PAIR_CHUNK and n > _PAIR_CHUNK:
+        chunk = _PAIR_CHUNK
+        pad_c = (-n) % chunk
+        n_chunks = (n + pad_c) // chunk
+        if pad_c:
+            # Far-away sentinel columns: never neighbours.
+            d2p = jnp.concatenate([d2, jnp.full((n, pad_c), BIG)], axis=1)
+            pts_cols = jnp.concatenate(
+                [pts, jnp.full((pad_c, 3), PAD_SENTINEL, pts.dtype)], axis=0
+            )
+            nrm_cols = jnp.concatenate(
+                [nrm, jnp.zeros((pad_c, 3), nrm.dtype)], axis=0
+            )
+        else:
+            d2p, pts_cols, nrm_cols = d2, pts, nrm
+
+        def spfh_chunk(carry, jc):
+            acc, cnt = carry
+            j0 = jc * chunk
+            d2c = jax.lax.dynamic_slice_in_dim(d2p, j0, chunk, axis=1)
+            pjc = jax.lax.dynamic_slice_in_dim(pts_cols, j0, chunk, axis=0)
+            njc = jax.lax.dynamic_slice_in_dim(nrm_cols, j0, chunk, axis=0)
+            nbc = (d2c <= th_f[:, None]) & (d2c > _EPS)
+            dp = pjc[None, :, :] - pts[:, None, :]
+            dist = jnp.sqrt(d2c)
+            theta, alpha, phi = _pair_features(
+                pts, nrm,
+                jnp.broadcast_to(pjc[None, :, :], (n, chunk, 3)),
+                jnp.broadcast_to(njc[None, :, :], (n, chunk, 3)),
+                dp, dist, nbc,
+            )
+            h = jnp.concatenate(
+                [hist_of(theta, -jnp.pi, jnp.pi, nbc),
+                 hist_of(alpha, -1.0, 1.0, nbc),
+                 hist_of(phi, -1.0, 1.0, nbc)],
+                axis=1,
+            )
+            return (acc + h, cnt + jnp.sum(nbc.astype(jnp.float32), axis=1)), None
+
+        (counts33, cnt), _ = jax.lax.scan(
+            spfh_chunk,
+            (jnp.zeros((n, 3 * _NBINS)), jnp.zeros((n,))),
+            jnp.arange(n_chunks),
+        )
+    else:
+        dp = pts[None, :, :] - pts[:, None, :]
+        dist = jnp.sqrt(d2)
+        theta, alpha, phi = _pair_features(
+            pts, nrm,
+            jnp.broadcast_to(pts[None, :, :], (n, n, 3)),
+            jnp.broadcast_to(nrm[None, :, :], (n, n, 3)),
+            dp, dist, nb,
+        )
+        counts33 = jnp.concatenate(
+            [hist_of(theta, -jnp.pi, jnp.pi, nb),
+             hist_of(alpha, -1.0, 1.0, nb),
+             hist_of(phi, -1.0, 1.0, nb)],
+            axis=1,
+        )
+        cnt = jnp.sum(nb.astype(jnp.float32), axis=1)
+    hist_incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
+    spfh = counts33 * hist_incr[:, None]
 
     # Neighbour accumulation: ONE [M, M] @ [M, 33] matmul (the slot path's
     # spfh[idx] gather + einsum).

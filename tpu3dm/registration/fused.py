@@ -57,6 +57,11 @@ def _nn_rows(query, target, rows, qmask, tmask, impl):
             query, target, pack_f16_pairs(rows), qmask, tmask
         )
         return d2, unpack_f16_pairs(packed)
+    if impl == "values_b16":
+        d2, packed = nn_search_vals(
+            query, target, pack_f16_pairs(rows), qmask, tmask
+        )
+        return d2, unpack_f16_pairs(packed)
     if impl in ("values", "values_icp", "values_fold"):
         return nn_search_vals(query, target, rows, qmask, tmask)
     d2, idx = _nn(query, target, qmask, tmask, impl)
@@ -168,6 +173,7 @@ def _ransac_with_rescue(
     sample_mode="roll",
     sample_rows=0,
     adapt_iterations=0,
+    rescue_modes=2,
     nn_impl="auto",
 ):
     """Batched alias rescue: 2R candidate poses (two RANSAC modes x R
@@ -192,12 +198,13 @@ def _ransac_with_rescue(
             batch_size=ransac_batch,
             approx_score=approx_score,
             two_mode=True,
+            n_modes=rescue_modes,
             sample_mode=sample_mode,
             sample_rows=sample_rows,
             adapt_iterations=adapt_iterations,
         )
 
-    Ts, counts = jax.vmap(one_restart)(keys)  # [R, 2, 4, 4], [R, 2]
+    Ts, counts = jax.vmap(one_restart)(keys)  # [R, n_modes, 4, 4], [R, n_modes]
     cands = Ts.reshape(-1, 4, 4)
     ccounts = jnp.maximum(counts.reshape(-1), 0)
 
@@ -304,6 +311,7 @@ def _ransac_with_rescue(
         "sample_mode",
         "sample_rows",
         "adapt_iterations",
+        "rescue_modes",
         "nn_impl",
     ),
 )
@@ -334,7 +342,8 @@ def fused_register_step(
     sample_mode: str = "roll",
     sample_rows: int = 0,
     adapt_iterations: int = 0,
-    nn_impl: str = "dense",
+    rescue_modes: int = 2,
+    nn_impl: str = "values_pk",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Register one preprocessed pair in a single compiled program.
 
@@ -367,7 +376,18 @@ def fused_register_step(
     if mutual_filter:
         # approx_features runs the 33-D feature matmul in bf16 (quality-gated
         # end-to-end by the bench; RANSAC tolerates flipped near-tie matches).
-        if nn_impl == "values_fold":
+        if nn_impl == "values_b16":
+            # One-shot fold with the feature cross stored bf16: the fp32
+            # cross (8.6 GB at bench shape) was the difference between the
+            # one-shot fold fitting and OOM; bf16 halves it AND halves the
+            # HBM reads of both reduce passes.  Kills the take_along_axis
+            # (21.4 ms) and the tgt_pts[idx_fwd] gather (14.6 ms) of the
+            # round-4 trace.
+            q_all, mutual = nn_mutual_vals(
+                src_feat, tgt_feat, tgt_pts, src_mask, tgt_mask,
+                approx=approx_features, chunk=0, cross_dtype=jnp.bfloat16,
+            )
+        elif nn_impl == "values_fold":
             # Dense one-shot matmul + fold-carried mutuality (no
             # take_along_axis); the matched points still gather by index.
             idx_fwd, mutual = nn_mutual_mask_fold(
@@ -418,6 +438,7 @@ def fused_register_step(
             sample_mode=sample_mode,
             sample_rows=sample_rows,
             adapt_iterations=adapt_iterations,
+            rescue_modes=rescue_modes,
             nn_impl=nn_impl,
         )
     else:

@@ -267,7 +267,12 @@ def rolled_sample_gathers(
     elif sample_rows > 0:
         m_s = min(m, max(8, sample_rows))
     else:
-        m_s = min(m, max(256, k // 8))
+        # k//16 (round 5, was k//8): halving the rows again recovered a
+        # further ~8 ms at B=2048/K=4096 with every quality gate green
+        # (48x triple reuse; docs/ROOFLINE.md round-5 table).  Low-support
+        # regimes regain diversity through the adaptive budget extension,
+        # which samples FRESH rows every extra chunk.
+        m_s = min(m, max(256, k // 16))
     nv = jnp.maximum(n_valid, 3).astype(jnp.uint32)
     bits = jax.random.bits(key, (m_s,), jnp.uint32)
     ranks = (bits % nv).astype(jnp.int32)

@@ -488,7 +488,11 @@ def make_stream_manifest(
     n_points: int = 20_000,
     sigma: float = 0.01,
     seed0: int = 0,
+    family: str = "arch",
 ) -> tuple[list[tuple[str, str]], list[np.ndarray], list[np.ndarray]]:
+    # family="mix" cycles arch/plate/scan per pair — the three-geometry
+    # production manifest (round-5: scan adds scanner pathology; see
+    # io/synthetic.scanned_arch_cloud).
     """Write a synthetic fresh-cloud manifest to disk for stream benchmarks.
 
     Returns (pair_paths, true_transforms, source_moments) where
@@ -507,7 +511,12 @@ def make_stream_manifest(
     trues: list[np.ndarray] = []
     moments: list[tuple[np.ndarray, np.ndarray]] = []
     for i in range(n_pairs):
-        s, t, T = make_benchmark_pair(n_points, seed=seed0 + i, sigma=sigma)
+        fam = (
+            ("arch", "plate", "scan")[i % 3] if family == "mix" else family
+        )
+        s, t, T = make_benchmark_pair(
+            n_points, seed=seed0 + i, sigma=sigma, family=fam
+        )
         sp = out_dir / f"src_{seed0 + i:05d}.ply"
         tp = out_dir / f"tgt_{seed0 + i:05d}.ply"
         write_ply(sp, s.astype(np.float32))

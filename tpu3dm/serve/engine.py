@@ -333,6 +333,7 @@ class ServeEngine:
         batch_sizes: list[int] | None = None,
         *,
         shared_target: bool = True,
+        parallel: int = 4,
     ) -> float:
         """Compile the steady-state bucket programs before traffic arrives.
 
@@ -347,6 +348,14 @@ class ServeEngine:
         (``bucket_multiple``, the smallest) at the power-of-two padding of
         ``max_batch`` — callers that know their cloud sizes should pass the
         real caps (e.g. ``[768, 896]`` for 20k-point dental scans).
+
+        ``parallel`` > 1 compiles the (cap, batch, path) shapes CONCURRENTLY
+        from a thread pool: each shape is a distinct jit cache entry, so the
+        compiles don't serialize on each other, only on the compile
+        service's own parallelism.  Serial prewarm measured 30-70 s for the
+        production shape set (round-4 artifacts, `prewarm_s`); the pool
+        overlaps that tracing + compile latency.  ``parallel=1`` restores
+        the serial order.
         """
         from tpu3dm.registration.batch import (
             ResidentTarget,
@@ -368,22 +377,42 @@ class ServeEngine:
             rescue_restarts=s.rescue_restarts,
             sample_mode=s.sample_mode,
         )
+        thunks = []
         for cap in caps:
             cloud = _synthetic_processed(cap)
             for b in batch_sizes:
                 keys = np.stack([_request_key(i) for i in range(b)])
-                launch_pairs_batched(
-                    [(cloud, cloud)] * b, self.pipeline,
-                    pair_keys=keys, mesh=self.mesh, **kw,
-                ).resolve()
-                if shared_target and s.target_resident_min > 0 and self.mesh is None:
-                    rt = ResidentTarget(cloud, max_caps=s.resident_caps_max)
-                    launch_sources_to_target(
-                        [cloud] * b, rt, self.pipeline, pair_keys=keys, **kw
+
+                def pair_thunk(cloud=cloud, b=b, keys=keys):
+                    launch_pairs_batched(
+                        [(cloud, cloud)] * b, self.pipeline,
+                        pair_keys=keys, mesh=self.mesh, **kw,
                     ).resolve()
+
+                thunks.append(pair_thunk)
+                if shared_target and s.target_resident_min > 0 and self.mesh is None:
+
+                    def shared_thunk(cloud=cloud, b=b, keys=keys):
+                        rt = ResidentTarget(cloud, max_caps=s.resident_caps_max)
+                        launch_sources_to_target(
+                            [cloud] * b, rt, self.pipeline, pair_keys=keys, **kw
+                        ).resolve()
+
+                    thunks.append(shared_thunk)
+        if parallel > 1 and len(thunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(parallel, len(thunks))) as ex:
+                futs = [ex.submit(t) for t in thunks]
+                for f in futs:
+                    f.result()
+        else:
+            for t in thunks:
+                t()
         dt = time.monotonic() - t0
         logger.info(
-            "prewarm: caps=%s batch_sizes=%s in %.1fs", caps, batch_sizes, dt
+            "prewarm: caps=%s batch_sizes=%s parallel=%d in %.1fs",
+            caps, batch_sizes, parallel, dt,
         )
         return dt
 
