@@ -538,11 +538,10 @@ def test_server_accepts_payload_exactly_at_limit(tmp_path):
 
     cfg = PipelineConfig.with_voxel_size(0.3)
     limit = 4096
-    server = RegistrationServer(
+    with RegistrationServer(
         port=0, pipeline=cfg, serve=SERVE, max_line_bytes=limit, max_points=100
-    )
-    try:
-        with socket.create_connection((server.host, server.port), timeout=10) as s:
+    ) as server:
+        with socket.create_connection((server.host, server.port), timeout=60) as s:
             rfile = s.makefile("rb")
             # Unknown-op JSON padded to exactly `limit` bytes: must reach the
             # handler (an error response that is NOT too_large).
@@ -561,5 +560,3 @@ def test_server_accepts_payload_exactly_at_limit(tmp_path):
             s.sendall(line + b"\n")
             resp = _json.loads(rfile.readline())
             assert resp["ok"] is False and resp["code"] == "too_large"
-    finally:
-        server.close()

@@ -603,13 +603,26 @@ def run_serve_benchmark(
         # and the decomposed percentiles are measured per rate.
         offered_rows = []
         rng = np.random.default_rng(42)
-        for rate in offered_rates:
-            engine.reset_latency_window()
-            futs = []
+        from tpu3dm.serve.engine import EngineOverloaded
+        # Deterministic shape coverage: the dispatcher pads micro-batches to
+        # powers of two, and Poisson arrivals form EVERY size 1..max_batch —
+        # sizes the full-batch prewarm and the flood never compiled (each is
+        # its own program; a mid-phase compile stalls ~30 s and poisons the
+        # latency percentiles — the same trap the flood warm pass exists
+        # for).  Compile them all up front, in parallel.
+        pow2 = []
+        b = 1
+        while b <= max_batch:
+            pow2.append(b)
+            b *= 2
+        t0 = time.time()
+        engine.prewarm(caps=caps, batch_sizes=pow2)
+        logger.info("offered-load shape prewarm (%s): %.1fs", pow2, time.time() - t0)
+        def offer(rate, duration):
+            futs, shed, i = [], 0, 0
             t0 = time.time()
             next_t = t0
-            t_end = t0 + offered_duration_s
-            i = 0
+            t_end = t0 + duration
             while True:
                 now = time.time()
                 if now >= t_end:
@@ -617,11 +630,26 @@ def run_serve_benchmark(
                 if now < next_t:
                     time.sleep(min(next_t - now, 0.02))
                     continue
-                futs.append(engine.submit(*pairs[i % n_distinct]))
+                # A real client sheds at overload; count it, keep offering.
+                try:
+                    futs.append(engine.submit(*pairs[i % n_distinct]))
+                except EngineOverloaded:
+                    shed += 1
                 i += 1
                 next_t += rng.exponential(1.0 / rate)
             for f in futs:
                 f.result(timeout=1200)
+            return futs, shed
+
+        for rate in offered_rates:
+            # Untimed warm pass FIRST: Poisson arrivals form micro-batch
+            # sizes the full-batch prewarm does not cover, and a fresh
+            # shape pays a ~36 s compile — the same compile-pollution trap
+            # the flood benchmark documents (round 4); timing the first
+            # pass would measure compiles, not latency.
+            offer(rate, min(offered_duration_s, 4.0))
+            engine.reset_latency_window()
+            futs, shed = offer(rate, offered_duration_s)
             st = engine.stats()
             lat = st.get("latency_ms") or {}
             que = st.get("queue_ms") or {}
@@ -635,16 +663,23 @@ def run_serve_benchmark(
             # upload time plus the (unmeasurable-here) CPU pack share,
             # conservatively kept at 20% of measured pack.
             mb = float(st.get("mean_batch_size") or 1.0)
-            upload_mb = mb * caps[-1] * 160 / 1e6
-            pcie_pack_ms = upload_mb / 12_000.0 * 1e3 + 0.2 * pack.get("p50", 0.0)
+            # PCIe projection (arithmetic model, not a subtraction): on a
+            # PCIe host the upload is >= 12 GB/s (~0.2 ms per batch), so the
+            # engine cycles at ~device_p50 per batch and is far from
+            # saturation at these rates; a request then waits ~half a batch
+            # accumulation (mean_batch/2 arrivals at the offered rate) plus
+            # one device pass.  The measured tunnel latency cannot be
+            # "corrected" into this number (its queue exists only because
+            # the tunnel's upload IS the bottleneck), so both are reported.
             proj50 = (
-                lat.get("p50", 0.0) - pack.get("p50", 0.0) + pcie_pack_ms
-                if lat and pack else None
+                1e3 * (mb / 2.0) / rate + dev.get("p50", 0.0)
+                if dev else None
             )
             offered_rows.append({
                 "offered_req_per_sec": rate,
-                "achieved_req_per_sec": round(i / offered_duration_s, 1),
-                "requests": i,
+                "achieved_req_per_sec": round(len(futs) / offered_duration_s, 1),
+                "requests": len(futs),
+                "shed": shed,
                 "latency_ms": {k: round(v, 1) for k, v in lat.items()},
                 "queue_ms": {k: round(v, 1) for k, v in que.items()},
                 "pack_ms_per_batch": {k: round(v, 1) for k, v in pack.items()},
