@@ -83,8 +83,7 @@ def main() -> None:
     pbs = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
     log(f"trace files: {pbs}")
 
-    from xprof.convert import _pywrap_profiler_plugin  # noqa: F401  (ensures pkg)
-    from xprof.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     total = defaultdict(float)
     for pb in pbs:

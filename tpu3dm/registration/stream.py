@@ -66,6 +66,7 @@ def _fused_ingest_register(
     rescore_top: int,
     sample_mode: str,
     dense_features: bool = True,
+    rescue_modes: int = 6,
 ):
     import jax.numpy as jnp
 
@@ -110,6 +111,7 @@ def _fused_ingest_register(
                 icp_solves_per_nn=icp_solves_per_nn,
                 approx_score=approx_score,
                 rescue_restarts=rescue_restarts,
+                rescue_modes=rescue_modes,
                 score_subset=score_subset,
                 rescore_top=rescore_top,
                 sample_mode=sample_mode,
@@ -567,6 +569,7 @@ def measure_fused_device_rate(
     icp_solves_per_nn: int = 2,
     approx_score: bool = True,
     rescue_restarts: int | None = None,
+    rescue_modes: int = 6,
     sample_mode: str = "roll",
     dense_features: bool = True,
     reps: int = 3,
@@ -587,6 +590,7 @@ def measure_fused_device_rate(
         ransac_iterations, icp_iterations, icp_solves_per_nn, approx_score,
         rs.rescue_restarts if rescue_restarts is None else rescue_restarts,
         rs.score_subset, rs.rescore_top, sample_mode, dense_features,
+        rescue_modes=rescue_modes,
     )
     rng = np.random.default_rng(0)
     pts = jax.device_put(
