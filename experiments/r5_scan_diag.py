@@ -58,7 +58,7 @@ def main() -> None:
         )
         for impl in impls:
             for rr, adapt, modes in (
-                (2, 0, 2), (2, 0, 4), (2, 0, 6), (4, 0, 4), (2, 32768, 4),
+                (2, 0, 6), (2, 32768, 6),
             ):
                 def step(k):
                     return fused_register_step(

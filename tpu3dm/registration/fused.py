@@ -212,6 +212,32 @@ def _ransac_with_rescue(
     cands = Ts.reshape(-1, 4, 4)
     ccounts = jnp.maximum(counts.reshape(-1), 0)
 
+    if rescue_restarts > 1 and rescue_modes > 2:
+        # Rotation-dedup before the expensive annealed verify: independent
+        # restarts mostly re-find the SAME support peaks, so R x n_modes
+        # candidates contain ~n_modes distinct rotations — verifying the
+        # duplicates costs a full annealed-ICP pass each for nothing
+        # (measured: rescue 2x6 modes cut the fused stream's device rate
+        # 495 -> 386 pairs/s).  Greedy reselect of the n_modes+2 best
+        # rotation-separated candidates (same 15-degree separation the
+        # per-restart peak extraction uses) keeps every distinct mode from
+        # either restart and caps verify work near one restart's.
+        n_keep = min(cands.shape[0], rescue_modes + 2)
+        cos_thr = jnp.cos(jnp.deg2rad(jnp.float32(15.0)))
+        keepT, keepc = [], []
+        aw = ccounts.astype(jnp.float32)
+        for _ in range(n_keep):
+            k = jnp.argmax(aw)
+            Tk = cands[k]
+            keepT.append(Tk)
+            keepc.append(jnp.maximum(aw[k], 0.0).astype(jnp.int32))
+            cosang = (
+                jnp.sum(Tk[:3, :3] * cands[:, :3, :3], axis=(1, 2)) - 1.0
+            ) * 0.5
+            aw = jnp.where(cosang >= cos_thr, -1.0, aw)
+        cands = jnp.stack(keepT)
+        ccounts = jnp.stack(keepc)
+
     ver_thresh_sq = jnp.float32(dist_thresh) ** 2
     fine_thresh_sq = jnp.float32(icp_thresh) ** 2
     n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
