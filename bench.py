@@ -503,7 +503,10 @@ def _fresh_stream_phase(cfg) -> None:
         # rescue_restarts=2 is the production robustness config: across
         # hundreds of arbitrary seeds the occasional arch alias IS elected
         # without it (measured: 1 alias in 384 fresh pairs at rescue=0).
-        rescue = int(_os.environ.get("TPU3DM_BENCH_STREAM_RESCUE", 2))
+        # 3 restarts (round 5): with the rotation-dedup capping verify work,
+        # an extra restart costs only its RANSAC pass — and the three-family
+        # manifest measured 1-in-384 scan alias at 2 restarts vs 0 at 3.
+        rescue = int(_os.environ.get("TPU3DM_BENCH_STREAM_RESCUE", 3))
         res = stream_register_pairs(
             pair_paths, cfg, window=window, down_cap=down_cap,
             fuse_device=True,
@@ -548,6 +551,9 @@ def _fresh_stream_phase(cfg) -> None:
             "fresh_host_ingest_pairs_per_sec": round(host_rate, 2) if host_rate else None,
             "fresh_pairs_per_sec_pcie_projected": round(pcie_proj, 2),
             "fresh_rot_err_deg_worst_pair": round(q["rot_err_deg_worst_pair"], 3),
+            "fresh_rot_err_deg_worst_recovered": round(
+                q["rot_err_deg_worst_recovered"], 3
+            ),
             "fresh_rmse_worst_pair": round(q["align_rmse_worst_pair"], 4),
             "fresh_pairs_over_2deg": q["pairs_over_2deg"],
             "fresh_quality_ok": q["quality_ok"],

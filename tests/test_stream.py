@@ -111,3 +111,35 @@ def test_stream_down_cap_pins_feature_shape(tmp_path):
     assert q["quality_ok"], q
     # All pairs must land in the pinned bucket (<= down_cap valid points).
     assert all(b >= 512 for b in res.bucket_of_pair)
+
+
+@pytest.mark.slow
+def test_symmetry_probe_retry_path():
+    """Hard-pair escalation (round 5): low-fitness results re-elect via
+    symmetry probes about the target's principal axes
+    (fused.verify_elect_probes).  Forcing the retry on every pair
+    (threshold 1.0) must preserve correct registrations — the original
+    elected pose is among the probes and annealed fine counts decide."""
+    import tempfile
+
+    from tpu3dm.registration.stream import (
+        make_stream_manifest,
+        stream_register_pairs,
+    )
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    with tempfile.TemporaryDirectory() as tmp:
+        paths, trues, _ = make_stream_manifest(
+            tmp, 4, n_points=3000, sigma=0.01, family="mix"
+        )
+        res = stream_register_pairs(
+            paths, cfg, window=2, down_cap=768, fuse_device=True,
+            ransac_iterations=512, icp_iterations=4, icp_solves_per_nn=2,
+            rescue_restarts=2, retry_below_fitness=1.0,
+        )
+        assert res.retry_pairs == [0, 1, 2, 3]
+        assert res.retry_seconds > 0
+        for i, Tt in enumerate(trues):
+            M = res.transforms[i][:3, :3] @ np.asarray(Tt)[:3, :3].T
+            err = float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+            assert err < 2.0, (i, err)

@@ -778,8 +778,9 @@ def run_stream_benchmark(
     down_cap: int = 896,
     ransac_iterations: int = 4096,
     icp_iterations: int = 8,
-    rescue_restarts: int = 2,
+    rescue_restarts: int = 3,
     generic_ab: bool = False,
+    family: str = "mix",
     out_json: str = "benchmark_stream.json",
 ) -> dict:
     """Disk->result streaming benchmark: gated fresh-pairs/s.
@@ -812,8 +813,8 @@ def run_stream_benchmark(
     try:
         t0 = time.time()
         pair_paths, trues, moments = make_stream_manifest(
-            tmp, n_pairs, n_points=n_points, sigma=0.01
-        )
+        tmp, n_pairs, n_points=n_points, sigma=0.01, family=family
+    )
         manifest_s = time.time() - t0
         kw = dict(
             window=window, down_cap=down_cap,
@@ -858,6 +859,8 @@ def run_stream_benchmark(
                 min(device_rate, host_rate) if host_rate else device_rate, 1
             ),
             "rescue_restarts": rescue_restarts,
+            "retry_pairs": len(res.retry_pairs),
+            "retry_seconds": round(res.retry_seconds, 2),
             **q,
             "backend": jax.default_backend(),
         }

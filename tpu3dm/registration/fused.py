@@ -324,6 +324,220 @@ def _ransac_with_rescue(
     return vT[best], ccounts[best]
 
 
+def _se3_inv(T):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ri = R.T
+    ti = -(Ri @ t)
+    top = jnp.concatenate([Ri, ti[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ransac_iterations", "ransac_batch", "n_modes", "adapt_iterations",
+        "verify_iters", "nn_impl",
+    ),
+)
+def escalated_register_step(
+    src_pts: jax.Array,
+    src_feat: jax.Array,
+    src_mask: jax.Array,
+    tgt_pts: jax.Array,
+    tgt_feat: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    key: jax.Array,
+    init_T: jax.Array | None = None,
+    *,
+    dist_thresh: float = 0.45,
+    icp_thresh: float = 0.12,
+    ransac_iterations: int = 4096,
+    ransac_batch: int = 4096,
+    n_modes: int = 8,
+    adapt_iterations: int = 16384,
+    verify_iters: int = 8,
+    nn_impl: str = "values_pk",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Heavy-budget registration for HARD pairs (the stream's escalation).
+
+    Failure mode being attacked (measured round 5, scan pair 140): on
+    quasi-symmetric geometry with degraded features, the TRUE pose's
+    correspondence support (10/171) sits below many symmetry-alias modes
+    (14-20 counts) — no practical budget surfaces it as a RANSAC
+    candidate, yet annealed verification discriminates it decisively
+    (fine counts 411-vs-260).  The aliases ARE symmetry conjugates of the
+    truth, so the relative transforms BETWEEN the found modes carry the
+    symmetry generator with its correct axis and anchor; composing each
+    mode with each generator extrapolates the alias lattice — the truth
+    is a lattice point.  Probes = the ``n_modes`` modes themselves plus
+    ``T_i @ inv(T_j) @ T_i`` for every ordered pair (one lattice step
+    beyond each mode), all elected purely by annealed fine-count
+    verification (``verify_elect_probes``).
+
+    Budget: full-diversity sampler (``sample_rows=-1``), adaptive
+    extension, ``n_modes`` rotation-separated peaks.  Returns
+    (T, fitness, rmse).
+    """
+    valid = src_mask
+    idx_fwd, mutual = nn_mutual_mask(
+        src_feat, tgt_feat, src_mask, tgt_mask, approx=True
+    )
+    q_all = tgt_pts[idx_fwd]
+    valid = valid & mutual
+
+    Ts, counts = ransac_pair_step(
+        src_pts, q_all, valid, key,
+        dist_thresh=dist_thresh,
+        iterations=ransac_iterations,
+        batch_size=ransac_batch,
+        approx_score=True,
+        two_mode=True,
+        n_modes=n_modes,
+        sample_rows=-1,
+        adapt_iterations=adapt_iterations,
+    )
+    # Generator lattice with SCREW POWERS: G = Ts[j] @ inv(Ts[i]) is the
+    # world-frame step from mode i to mode j — for a dihedral symmetry
+    # family the step between two 180-degree FLIP modes is a PURE WRAP
+    # rotation with the correct axis and anchor (flip_a . flip_b =
+    # wrap(2*angle(a,b))), even when no second wrap mode was found.
+    # Fractional and extrapolated powers exp(t*log(G)) sweep the symmetry
+    # circle densely (integer steps alone measured a closest-probe of 38
+    # degrees from the truth on scan pair 140 — outside the annealed-ICP
+    # capture basin; the power sweep brings lattice coverage under ~15).
+    # The ORIGINAL elected pose competes as a probe: the escalation can then
+    # only change a result the fine-count metric itself prefers to change —
+    # without it, a formerly-CORRECT low-fitness pair could be flipped to an
+    # alias by the no-eligibility election (measured round 5: one recovered
+    # pair regressed past the RMSE gate before this guard).
+    probes = [] if init_T is None else [init_T]
+    probes += [Ts[i] for i in range(n_modes)]
+    for i in range(n_modes):
+        inv_i = _se3_inv(Ts[i])
+        for j in range(i + 1, n_modes):
+            G = Ts[j] @ inv_i
+            xi = se3.log_se3(G)
+            for t in (-1.0, -0.5, 0.5, 1.5, 2.0):
+                probes.append(se3.exp_se3(t * xi) @ Ts[i])
+    cands = jnp.stack(probes)
+    return verify_elect_probes(
+        src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals, cands,
+        dist_thresh=dist_thresh, icp_thresh=icp_thresh,
+        verify_iters=verify_iters, nn_impl=nn_impl,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("verify_iters", "nn_impl"),
+)
+def verify_elect_probes(
+    src_pts: jax.Array,
+    src_mask: jax.Array,
+    tgt_pts: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    cands: jax.Array,
+    *,
+    dist_thresh: float = 0.45,
+    icp_thresh: float = 0.12,
+    verify_iters: int = 8,
+    nn_impl: str = "values_pk",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Annealed-ICP verification + election over EXPLICIT candidate poses.
+
+    The escalation primitive for hard pairs (registration/stream.py
+    symmetry-probe retry): each candidate in ``cands`` [C, 4, 4] is
+    converged by the same annealed point-to-plane schedule the rescue
+    uses, and the winner is elected lexicographically by (fine-threshold
+    inlier count, coarse fitness, -rmse) — geometry alone decides, with
+    no RANSAC-support eligibility: the candidates here are symmetry
+    conjugates of an already-elected pose, so correspondence support
+    carries no extra information (it chose the alias in the first place —
+    measured round 5, scan pair 140: truth support 10/171 vs alias 20,
+    yet converged fine counts 411-vs-260 in the truth's favor).
+
+    Returns (T [4, 4], fitness, rmse) of the elected candidate.
+    """
+    ver2 = jnp.float32(dist_thresh) ** 2
+    fine2 = jnp.float32(icp_thresh) ** 2
+    n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
+    wsrc = src_mask.astype(jnp.float32)[:, None]
+    tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+    anneal = (jnp.float32(dist_thresh) * (
+        (jnp.float32(icp_thresh) / jnp.float32(dist_thresh))
+        ** (jnp.arange(verify_iters, dtype=jnp.float32)
+            / jnp.float32(max(verify_iters - 1, 1)))
+    )) ** 2
+
+    def verify(T0):
+        # Translation SNAP before annealing: screw-power probes carry the
+        # generator's translation extrapolated along the symmetry axis,
+        # which can land the moved source grossly off-surface even when the
+        # rotation is near-correct — measured round 5: a probe 9.8 degrees
+        # from the truth diverged to 40 because no coarse-threshold
+        # correspondences existed to pull it in.  Unconditionally aligning
+        # the moved source to the centroid of its nearest targets (no
+        # threshold) recenters it; on-surface candidates get a ~zero snap.
+        pts0 = se3.apply(T0, src_pts)
+        _, g0 = _nn_rows(pts0, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+        snap = jnp.sum((g0[:, :3] - pts0) * wsrc, axis=0) / jnp.maximum(
+            jnp.sum(wsrc), 1.0
+        )
+        T0 = T0.at[:3, 3].add(snap)
+
+        def it(T, t2):
+            pts = se3.apply(T, src_pts)
+            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+            q, nv = g[:, :3], g[:, 3:]
+            m = (jnp.sum((pts - q) ** 2, axis=1) < t2) & src_mask
+            xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
+            return se3.exp_se3(xi) @ T, None
+
+        T, _ = jax.lax.scan(it, T0, anneal)
+        pts = se3.apply(T, src_pts)
+        d2, _ = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
+        m = (d2 < ver2) & src_mask
+        fit = jnp.sum(m.astype(jnp.float32)) / n_src
+        nfine = jnp.sum(((d2 < fine2) & src_mask).astype(jnp.float32))
+        rmse = jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1))
+        return T, fit, nfine, rmse
+
+    vT, vfit, vfine, vrmse = jax.vmap(verify)(cands)
+    rmse_frac = jnp.clip(vrmse / jnp.float32(dist_thresh), 0.0, 1.0)
+    tiebreak = jnp.round(vfit * n_src) + (1.0 - rmse_frac) * 0.999
+    fine_best = jnp.max(vfine)
+    score = jnp.where(vfine >= fine_best, tiebreak, -1.0)
+    best = jnp.argmax(score)
+
+    # Fine-threshold POLISH of the elected winner: the annealed verify
+    # converges candidates enough to rank them, but its last step is one
+    # solve at the fine threshold — a probe entering the basin late can
+    # rank first while still ~2 degrees off (measured round 5: a recovered
+    # pair at 1.95 deg / 0.165 RMSE failed the gate on polish alone).
+    # A few extra point-to-plane iterations at the fine threshold match
+    # what the normal pipeline's ICP stage would have delivered.
+    def polish_it(T, _):
+        pts = se3.apply(T, src_pts)
+        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+        q, nv = g[:, :3], g[:, 3:]
+        m = (jnp.sum((pts - q) ** 2, axis=1) < fine2) & src_mask
+        xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
+        return se3.exp_se3(xi) @ T, None
+
+    T_fin, _ = jax.lax.scan(polish_it, vT[best], None, length=6)
+    pts = se3.apply(T_fin, src_pts)
+    d2, _ = _nn(pts, tgt_pts, src_mask, tgt_mask, nn_impl)
+    m = (d2 < ver2) & src_mask
+    fit = jnp.sum(m.astype(jnp.float32)) / n_src
+    rmse = jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0)) / jnp.maximum(jnp.sum(m), 1))
+    return T_fin, fit, rmse
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
