@@ -20,3 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache for the CPU test backend: most of the
+# fast tier's wall time is hundreds of CPU compiles, and on CPU the cache
+# works normally (unlike the axon remote backend, where cache-deserialized
+# executables run ~250x slower — docs/STATUS.md harness facts — which is
+# why bench.py must NOT set this).  Cold tier ~8 min; warm re-runs drop to
+# the developer-loop contract.  Delete .pytest_jax_cache to force cold.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

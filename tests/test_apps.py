@@ -39,6 +39,7 @@ def test_cli_register_files(small_pair_files, tmp_path, capsys):
     assert "canvas" in html and "DATA" in html
 
 
+@pytest.mark.slow
 def test_cli_register_large_honors_flags(small_pair_files, tmp_path, capsys):
     """--large must honor --out-ply/--out-html/--restarts (VERDICT r1 item 8:
     these flags were silently dropped on the large path)."""

@@ -55,6 +55,7 @@ def test_empty_input():
     assert res.bucket_of_pair == []
 
 
+@pytest.mark.slow
 def test_mesh_sharded_batch(mixed_pairs):
     """Bucketed dispatch through the pair-sharded mesh path."""
     import jax

@@ -11,7 +11,8 @@ import pytest
 # Measured CPU-mesh wall times (full-suite --durations, round 4): the
 # sharded-mesh and large-cloud examples dominate the whole suite.
 _SLOW = {"05_sharded_mesh.py", "04_large_cloud.py", "01_register_pair.py",
-         "06_serving.py"}
+         "06_serving.py", "02_register_many_pairs.py", "03_multiway.py",
+         "07_streaming.py"}
 EXAMPLES = [
     pytest.param(p, marks=[pytest.mark.slow] if p.name in _SLOW else [])
     for p in sorted((Path(__file__).parent.parent / "examples").glob("*.py"))

@@ -121,6 +121,7 @@ def test_multiway_registration_synthetic():
         assert rmse < 0.05, f"cloud {k} rmse {rmse}"
 
 
+@pytest.mark.slow
 def test_multiway_batched_matches_sequential():
     """Batched fan-out (one vmapped dispatch for all edges) aligns the same
     clouds to the same consistency as the sequential path."""

@@ -483,7 +483,9 @@ def test_fused_step_values_impl_matches_dense():
                 icp_thresh=cfg.icp.dist_thresh,
                 ransac_iterations=256, ransac_batch=256,
                 icp_iterations=4, icp_solves_per_nn=2,
-                rescue_restarts=rescue, nn_impl=impl,
+                rescue_restarts=rescue, rescue_modes=2,  # small program: the
+                # parity claim is impl-equivalence, not mode count
+                nn_impl=impl,
             )
         np.testing.assert_allclose(
             np.asarray(outs["dense"][0]), np.asarray(outs["values"][0]), atol=1e-5

@@ -175,6 +175,7 @@ def test_server_error_reporting(cfg):
             assert c.ping()
 
 
+@pytest.mark.slow
 def test_serve_benchmark_smoke(tmp_path):
     """The --serve benchmark phase runs end-to-end and gates quality."""
     from tpu3dm.apps.benchmark import run_serve_benchmark

@@ -16,6 +16,7 @@ N_POINTS = 1500
 KW = dict(ransac_iterations=512, icp_iterations=4, bucket_multiple=64)
 
 
+@pytest.mark.slow
 def test_stream_matches_batched_and_is_window_invariant(tmp_path):
     """The streamed path must produce exactly the whole-manifest batched
     results, for ANY window size (positional keys), and pass the gate."""
