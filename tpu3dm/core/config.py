@@ -103,12 +103,17 @@ class RansacConfig:
     # (_visualize_matcher.py:356-370 run in reverse: the reference stops
     # early at high support; this extends at low support).  0 = fixed
     # budget.  High-support pairs take zero extra chunks, so enabling it
-    # costs nothing outside the hard-pair regime.  Default 32768 = 8x the
-    # fixed 4096 budget: covers observed support down to w ~ 0.06 (the
-    # plate family at overlap 0.4 measures w ~ 0.1); every headline regime
-    # has fitness >= 0.25, far above the w < 0.119 trigger point, so the
-    # default is free there (round-5 on-chip gates unchanged).
-    adapt_iterations: int = 32768
+    # costs nothing outside the hard-pair regime — for a SINGLE pair.
+    # Default 0 (opt-in): under vmap every lane of a batch runs while ANY
+    # lane's criterion is unmet, so one low-support lane extends RANSAC
+    # for the whole dispatch (measured round 5: multiway-256 2.4x slower
+    # with a 32768 default, quality identical; the rescue's N-mode
+    # election, not the extension, is what fixes the hard regimes —
+    # measured identical with/without on scan@1.0/0.6 and plate@0.5).
+    # The hard-pair ESCALATION (registration/stream.py retry ->
+    # fused.escalated_register_step) applies adapt_iterations=16384
+    # explicitly, where only flagged-hard lanes pay.
+    adapt_iterations: int = 0
 
     @property
     def dist_thresh(self) -> float:
