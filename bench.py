@@ -91,8 +91,6 @@ def main() -> None:
     # remote-compile stack, cache-deserialized executables run ~250x slower
     # than freshly compiled ones (measured 25 ms vs 0.1 ms for the same
     # program) — paying recompiles is far cheaper.
-    import jax.numpy as jnp
-
     from tpu3dm.core.config import PipelineConfig
     from tpu3dm.io.synthetic import make_benchmark_pair
     from tpu3dm.preprocess.pipeline import preprocess_points, preprocess_points_batch
