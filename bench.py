@@ -508,6 +508,8 @@ def _fresh_stream_phase(cfg) -> None:
         res = stream_register_pairs(
             pair_paths, cfg, window=window, down_cap=down_cap,
             fuse_device=True,
+            retry_measure_warm=True,  # benchmark accounting: exclude the
+            # retry's one-time compile from steady (window-1 semantics)
             ransac_iterations=RANSAC_HYPOTHESES,
             icp_iterations=ICP_ITERS,
             icp_solves_per_nn=ICP_SOLVES_PER_NN,

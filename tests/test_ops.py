@@ -490,3 +490,46 @@ def test_fused_step_values_impl_matches_dense():
         np.testing.assert_allclose(
             np.asarray(outs["dense"][0]), np.asarray(outs["values"][0]), atol=1e-5
         )
+
+
+def test_fused_step_values_pk_large_coordinates():
+    """Registration must be POSITION-INVARIANT (round-5 review finding):
+    at large absolute coordinates, uncentered |a|^2+|b|^2-2ab kNN lost
+    the feature stage to fp32 cancellation, the p2pl Jacobian pivoted
+    about a far origin, and the f16 payload packing quantized absolute
+    values.  All three are fixed by centering (feature stage, whole-step
+    frame conjugation, payload shift); a pair 1000-2000 units from the
+    origin must register exactly as well as the origin-centered one."""
+    from tpu3dm.core.config import PipelineConfig
+    from tpu3dm.io.synthetic import make_benchmark_pair
+    from tpu3dm.preprocess.pipeline import preprocess_points
+    from tpu3dm.registration.fused import fused_register_step
+
+    cfg = PipelineConfig.with_voxel_size(0.3)
+    sp, tp, T_true = make_benchmark_pair(1500, seed=4, sigma=0.01)
+    shift = np.array([1000.0, -2000.0, 1500.0], np.float32)
+    sp = sp + shift
+    tp = tp + shift
+    T_shifted = T_true.copy()
+    # tgt' = R (src' - shift) + t + shift  =>  t' = t + shift - R shift
+    T_shifted[:3, 3] = (
+        T_true[:3, 3] + shift - T_true[:3, :3] @ shift
+    )
+    src = preprocess_points(sp, cfg.preprocess)
+    tgt = preprocess_points(tp, cfg.preprocess)
+    sd, td = src.down, tgt.down
+    T, f, r = fused_register_step(
+        sd.points, sd.features, sd.mask, sd.normals,
+        td.points, td.features, td.mask, td.normals, jax.random.PRNGKey(0),
+        dist_thresh=cfg.ransac.dist_thresh, icp_thresh=cfg.icp.dist_thresh,
+        ransac_iterations=256, ransac_batch=256,
+        icp_iterations=6, icp_solves_per_nn=2, nn_impl="values_pk",
+    )
+    T = np.asarray(T)
+    M = T[:3, :3] @ T_shifted[:3, :3].T
+    err = float(np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1))))
+    moved = sp @ T[:3, :3].T + T[:3, 3]
+    expect = sp @ T_shifted[:3, :3].T + T_shifted[:3, 3]
+    rmse = float(np.sqrt(((moved - expect) ** 2).sum(1).mean()))
+    assert err < 1.0, err
+    assert rmse < 0.05, rmse

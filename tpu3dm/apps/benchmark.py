@@ -822,7 +822,9 @@ def run_stream_benchmark(
             icp_iterations=icp_iterations,
             rescue_restarts=rescue_restarts,
         )
-        res = stream_register_pairs(pair_paths, cfg, fuse_device=True, **kw)
+        res = stream_register_pairs(
+            pair_paths, cfg, fuse_device=True, retry_measure_warm=True, **kw
+        )
         q = stream_quality(res, trues, moments)
         device_rate = measure_fused_device_rate(
             cfg, window=window, down_cap=down_cap,

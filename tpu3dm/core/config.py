@@ -87,7 +87,7 @@ class RansacConfig:
     score_subset: int = 0
     rescore_top: int = 128
     # Roll-sampler gather rows (hypotheses.rolled_sample_gathers).  0 = the
-    # measured default cap max(256, K//8); -1 = uncapped (one sampled row
+    # measured default cap max(256, K//16); -1 = uncapped (one sampled row
     # per correspondence); >0 = explicit row count.  The cap trades sampler
     # gather cost (the rows are gathered at TPU element rate) against
     # inter-triple CORRELATION: at the default, ~512 rows serve 4096 triples

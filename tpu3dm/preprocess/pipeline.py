@@ -122,7 +122,30 @@ def down_features(
     hybrid-search neighbour set.  The k-selection scan dominates ingest
     (14.6x the covariance cost — config.py), so sharing it halves the hot
     path.
+
+    The cloud is CENTERED about its centroid for the feature computation
+    (normals and FPFH are translation-invariant; the RETURNED cloud keeps
+    the original points): the kNN selection expands d2 as
+    |a|^2+|b|^2-2ab, whose fp32 cancellation error grows with absolute
+    coordinate magnitude — at |coords| ~ 2000 it reaches ~1 against a
+    radius^2 scale of 2.25, silently corrupting neighbour sets and
+    therefore every downstream feature (measured round 5: a
+    +1000-shifted benchmark pair lost 95% of its true correspondences
+    before this fix).  The dense formulation (preprocess/dense.py)
+    already centers for the same reason.  The shift is QUANTIZED to
+    multiples of 64: an exact no-op for near-origin clouds — any change
+    to feature fp rounding measurably reshuffles razor-margin rescue
+    elections — while far-origin clouds keep a residual offset <= 32
+    units, harmless for the d2 expansion (fp32 error ~1e-4 at 32 vs the
+    2.25 radius^2 scale).
     """
+    orig = down
+    ctr = jnp.round(down.centroid() / 64.0) * 64.0
+    down = down.with_(points=down.points - ctr[None, :])
+
+    def restore(featured: PointCloud) -> PointCloud:
+        return orig.with_(normals=featured.normals, features=featured.features)
+
     if share_knn and 0 < normal_max_nn <= fpfh_max_nn:
         from tpu3dm.core.cloud import PAD_SENTINEL
         from tpu3dm.ops.topk import nn_topk
@@ -139,14 +162,14 @@ def down_features(
         r2_n = jnp.asarray(normal_radius, jnp.float32) ** 2
         nvalid = valid[:, :k_n] & (d2[:, :k_n] <= r2_n)
         down = normals_from_knn(down, idx[:, :k_n], nvalid)
-        return fpfh_from_knn(down, d2, idx, valid)
+        return restore(fpfh_from_knn(down, d2, idx, valid))
     if normal_max_nn > 0:
         down = estimate_normals_capped(down, normal_radius, max_nn=normal_max_nn)
     else:
         down = estimate_normals(down, normal_radius)
     if fpfh_max_nn > 0:
-        return compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn)
-    return compute_fpfh(down, fpfh_radius)
+        return restore(compute_fpfh_capped(down, fpfh_radius, max_nn=fpfh_max_nn))
+    return restore(compute_fpfh(down, fpfh_radius))
 
 
 _features_device = jax.jit(

@@ -41,22 +41,48 @@ def _nn(query, target, qmask, tmask, impl="dense"):
     return nn_search(query, target, qmask, tmask)
 
 
-def _nn_rows(query, target, rows, qmask, tmask, impl):
+def _pn_center(tgt_pts, tgt_mask):
+    """Masked centroid used to CENTER the packed (points, normals) payload.
+
+    The f16 payload packing quantizes ABSOLUTE values: at |coords| ~ 1000
+    the quantization error (~0.5) would swamp a small ICP threshold, and
+    coords above 65504 overflow to inf.  Packing coordinates relative to
+    the target centroid makes the error scale with the cloud EXTENT —
+    which is exactly how the voxel-derived thresholds scale — so the
+    packed path stays safe at any coordinate magnitude.  Normals are unit
+    vectors and need no shift.  QUANTIZED to multiples of 64 so the shift
+    is an exact no-op (bit-identical f16 rounding) for near-origin clouds
+    — preserving previously-validated razor-margin elections — while the
+    residual offset for far-origin clouds stays <= 32 units (f16 error
+    ~0.016, well under the ICP threshold scale)."""
+    w = tgt_mask.astype(jnp.float32)[:, None]
+    c = jnp.sum(tgt_pts * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.round(c / 64.0) * 64.0
+
+
+def _nn_rows(query, target, rows, qmask, tmask, impl, center=None):
     """ICP correspondence search returning the winner's payload ROWS.
 
     ``impl == "values"``/``"values_icp"`` fold the rows through the argmin
     reduction (ops/nn.py nn_search_vals) — no index materialization, no row
     gather; ``"values_pk"`` additionally bit-packs the 6-wide payload into
     3 f16-pair carriers (ops/nn.py pack_f16_pairs) to halve the fold's
-    carried operands — f16 noise (~5e-4) on the correspondence targets
-    averages out of the p2pl normal equations over ~700 points.  Other
+    carried operands.  ``center`` [3] (see ``_pn_center``) shifts the
+    packed point columns so f16 noise scales with cloud extent, not
+    absolute coordinates; the shift is added back after unpacking.  Other
     impls keep the measured-legacy argmin + ``rows[idx]`` sequence
     (29.5 ms/pass of the round-4 fused-step trace at [2048, 1024, 1024])."""
     if impl in ("values_pk", "values_b16"):
+        if center is not None:
+            shift = jnp.concatenate([center, jnp.zeros(3, rows.dtype)])
+            rows = rows - shift[None, :]
         d2, packed = nn_search_vals(
             query, target, pack_f16_pairs(rows), qmask, tmask
         )
-        return d2, unpack_f16_pairs(packed)
+        out = unpack_f16_pairs(packed)
+        if center is not None:
+            out = out + shift[None, :]
+        return d2, out
     if impl in ("values", "values_icp", "values_fold"):
         return nn_search_vals(query, target, rows, qmask, tmask)
     d2, idx = _nn(query, target, qmask, tmask, impl)
@@ -213,17 +239,31 @@ def _ransac_with_rescue(
     ccounts = jnp.maximum(counts.reshape(-1), 0)
 
     if rescue_restarts > 1 and rescue_modes > 2:
-        # Rotation-dedup before the expensive annealed verify: independent
+        # Pose-dedup before the expensive annealed verify: independent
         # restarts mostly re-find the SAME support peaks, so R x n_modes
-        # candidates contain ~n_modes distinct rotations — verifying the
+        # candidates contain ~n_modes distinct poses — verifying the
         # duplicates costs a full annealed-ICP pass each for nothing
         # (measured: rescue 2x6 modes cut the fused stream's device rate
-        # 495 -> 386 pairs/s).  Greedy reselect of the n_modes+2 best
-        # rotation-separated candidates (same 15-degree separation the
-        # per-restart peak extraction uses) keeps every distinct mode from
-        # either restart and caps verify work near one restart's.
-        n_keep = min(cands.shape[0], rescue_modes + 2)
+        # 495 -> 386 pairs/s).  A same-basin duplicate is near in BOTH
+        # rotation (the 15-degree separation the per-restart peak
+        # extraction uses) AND translation (<< the coarse threshold); on
+        # translation-periodic geometry two candidates can share a
+        # rotation while mapping the source a lattice step apart, and a
+        # rotation-only rule would delete the lower-support one before
+        # the verified election.  Admission of those translation-slide
+        # variants is gated at NEAR-TIE support (the same 0.85 ratio the
+        # rescue eligibility is calibrated on): unconditional admission
+        # measurably let weak slide aliases steal razor-margin plate
+        # elections (plate@0.5 16/16 -> 14/16), while near-tie slides are
+        # exactly the candidates the verified election exists to judge.
+        # modes+4 slots: translation-aware dedup keeps lattice-translation
+        # variants as distinct candidates (correctly), so two extra slots
+        # stop them crowding out lower-count rotation modes (measured:
+        # plate@0.5 dropped 16/16 -> 14/16 at modes+2 after the dedup
+        # became translation-aware; +2 slots restored it).
+        n_keep = min(cands.shape[0], rescue_modes + 4)
         cos_thr = jnp.cos(jnp.deg2rad(jnp.float32(15.0)))
+        t_dup_sq = (3.0 * jnp.float32(dist_thresh)) ** 2
         keepT, keepc = [], []
         aw = ccounts.astype(jnp.float32)
         for _ in range(n_keep):
@@ -234,7 +274,11 @@ def _ransac_with_rescue(
             cosang = (
                 jnp.sum(Tk[:3, :3] * cands[:, :3, :3], axis=(1, 2)) - 1.0
             ) * 0.5
-            aw = jnp.where(cosang >= cos_thr, -1.0, aw)
+            tdiff = jnp.sum((cands[:, :3, 3] - Tk[:3, 3]) ** 2, axis=1)
+            rot_near = cosang >= cos_thr
+            same_basin = rot_near & (tdiff <= t_dup_sq)
+            weak_slide = rot_near & (aw < RESCUE_TIE_RATIO * aw[k])
+            aw = jnp.where(same_basin | weak_slide, -1.0, aw)
         cands = jnp.stack(keepT)
         ccounts = jnp.stack(keepc)
 
@@ -245,6 +289,7 @@ def _ransac_with_rescue(
     # One [M, 6] gather per NN pass instead of two [M, 3] gathers (same
     # slot-concat trick as prepare_correspondences' pq).
     tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+    pn_c = _pn_center(tgt_pts, tgt_mask)
 
     # Annealed correspondence threshold: geometric schedule from the coarse
     # RANSAC threshold down to the fine ICP threshold across the verify
@@ -265,7 +310,7 @@ def _ransac_with_rescue(
     def verify(T0):
         def it(T, t2):
             pts = se3.apply(T, src_pts)
-            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl, pn_c)
             q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < t2) & src_mask
             xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
@@ -324,17 +369,6 @@ def _ransac_with_rescue(
     return vT[best], ccounts[best]
 
 
-def _se3_inv(T):
-    R = T[:3, :3]
-    t = T[:3, 3]
-    Ri = R.T
-    ti = -(Ri @ t)
-    top = jnp.concatenate([Ri, ti[:, None]], axis=1)
-    return jnp.concatenate(
-        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
-    )
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -382,6 +416,14 @@ def escalated_register_step(
     extension, ``n_modes`` rotation-separated peaks.  Returns
     (T, fitness, rmse).
     """
+    frame_c = jnp.round(_pn_center(tgt_pts, tgt_mask) / 64.0) * 64.0
+    src_pts = src_pts - frame_c[None, :]
+    tgt_pts = tgt_pts - frame_c[None, :]
+    if init_T is not None:
+        # Conjugate the caller's WORLD pose into the centered frame.
+        t_c = init_T[:3, 3] - frame_c + init_T[:3, :3] @ frame_c
+        init_T = init_T.at[:3, 3].set(t_c)
+
     valid = src_mask
     idx_fwd, mutual = nn_mutual_mask(
         src_feat, tgt_feat, src_mask, tgt_mask, approx=True
@@ -417,18 +459,20 @@ def escalated_register_step(
     probes = [] if init_T is None else [init_T]
     probes += [Ts[i] for i in range(n_modes)]
     for i in range(n_modes):
-        inv_i = _se3_inv(Ts[i])
+        inv_i = se3.inverse(Ts[i])
         for j in range(i + 1, n_modes):
             G = Ts[j] @ inv_i
             xi = se3.log_se3(G)
             for t in (-1.0, -0.5, 0.5, 1.5, 2.0):
                 probes.append(se3.exp_se3(t * xi) @ Ts[i])
     cands = jnp.stack(probes)
-    return verify_elect_probes(
+    T, fit, rmse = verify_elect_probes(
         src_pts, src_mask, tgt_pts, tgt_mask, tgt_normals, cands,
         dist_thresh=dist_thresh, icp_thresh=icp_thresh,
         verify_iters=verify_iters, nn_impl=nn_impl,
     )
+    t_w = T[:3, 3] + frame_c - T[:3, :3] @ frame_c
+    return T.at[:3, 3].set(t_w), fit, rmse
 
 
 @functools.partial(
@@ -468,6 +512,7 @@ def verify_elect_probes(
     n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1).astype(jnp.float32)
     wsrc = src_mask.astype(jnp.float32)[:, None]
     tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+    pn_c = _pn_center(tgt_pts, tgt_mask)
     anneal = (jnp.float32(dist_thresh) * (
         (jnp.float32(icp_thresh) / jnp.float32(dist_thresh))
         ** (jnp.arange(verify_iters, dtype=jnp.float32)
@@ -484,7 +529,7 @@ def verify_elect_probes(
         # the moved source to the centroid of its nearest targets (no
         # threshold) recenters it; on-surface candidates get a ~zero snap.
         pts0 = se3.apply(T0, src_pts)
-        _, g0 = _nn_rows(pts0, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+        _, g0 = _nn_rows(pts0, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl, pn_c)
         snap = jnp.sum((g0[:, :3] - pts0) * wsrc, axis=0) / jnp.maximum(
             jnp.sum(wsrc), 1.0
         )
@@ -492,7 +537,7 @@ def verify_elect_probes(
 
         def it(T, t2):
             pts = se3.apply(T, src_pts)
-            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+            _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl, pn_c)
             q, nv = g[:, :3], g[:, 3:]
             m = (jnp.sum((pts - q) ** 2, axis=1) < t2) & src_mask
             xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
@@ -523,7 +568,7 @@ def verify_elect_probes(
     # what the normal pipeline's ICP stage would have delivered.
     def polish_it(T, _):
         pts = se3.apply(T, src_pts)
-        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl, pn_c)
         q, nv = g[:, :3], g[:, 3:]
         m = (jnp.sum((pts - q) ** 2, axis=1) < fine2) & src_mask
         xi = _p2pl_delta_planar(pts, q, nv, m.astype(jnp.float32))
@@ -614,6 +659,21 @@ def fused_register_step(
 
     Returns (T [4,4], ransac_fitness, icp_rmse).
     """
+    # --- common centering: the whole step runs in a near-cloud frame
+    # (round 5): at large absolute coordinates the point-to-plane Jacobian
+    # rows [n, p x n] pivot about a far origin — |p x n| ~ |coords| makes
+    # the 6x6 normal equations ill-conditioned and fp32-lossy (measured:
+    # a +1000-2000-shifted pair registered at 1.24 deg vs 0.21 centered).
+    # The shift is the target centroid QUANTIZED to multiples of 64: an
+    # exact no-op (shift 0) for every near-origin cloud — preserving all
+    # previously-validated elections bit-for-bit (an exact-centroid shift
+    # measurably perturbed razor-margin plate elections) — while leaving
+    # far-origin clouds with a residual offset <= 32 units, harmless at
+    # fp32.  T_world = Shift(c) T' Shift(-c) at return.
+    frame_c = jnp.round(_pn_center(tgt_pts, tgt_mask) / 64.0) * 64.0
+    src_pts = src_pts - frame_c[None, :]
+    tgt_pts = tgt_pts - frame_c[None, :]
+
     # --- correspondences in FPFH space -------------------------------------
     valid = src_mask
     p_all = src_pts
@@ -660,7 +720,11 @@ def fused_register_step(
             )
             q_all = tgt_pts[idx_fwd]
         valid = valid & mutual
-    elif nn_impl == "values":
+    elif nn_impl in ("values", "values_pk", "values_b16", "values_icp",
+                     "values_fold"):
+        # Gather-free non-mutual correspondence: the d33 fold carries the
+        # 3 target point columns (fp32 — the f16 packing is an ICP-side
+        # 6-wide optimization, unnecessary at payload width 3).
         _, q_all = nn_search_vals(src_feat, tgt_feat, tgt_pts, src_mask, tgt_mask)
     else:
         _, idx_fwd = _nn(src_feat, tgt_feat, src_mask, tgt_mask, nn_impl)
@@ -721,19 +785,25 @@ def fused_register_step(
 
     # One [M, 6] gather per correspondence search instead of two [M, 3]s.
     tgt_pn = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
+    pn_c = _pn_center(tgt_pts, tgt_mask)
 
     def icp_iter(T, _):
         pts = se3.apply(T, src_pts)
-        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl)
+        _, g = _nn_rows(pts, tgt_pts, tgt_pn, src_mask, tgt_mask, nn_impl, pn_c)
         q, n = g[:, :3], g[:, 3:]
         T, rmse = solve_step(T, pts, q, n)
         for _ in range(icp_solves_per_nn - 1):  # static unroll
             T, rmse = solve_step(T, se3.apply(T, src_pts), q, n)
         return T, rmse
 
+    def unconjugate(T):
+        # T_world = Shift(frame_c) . T . Shift(-frame_c).
+        t_w = T[:3, 3] + frame_c - T[:3, :3] @ frame_c
+        return T.at[:3, 3].set(t_w)
+
     if icp_iterations == 0:
         # Coarse-only mode: no polish, no ICP rmse to report.
-        return T, fitness, jnp.float32(0.0)
+        return unconjugate(T), fitness, jnp.float32(0.0)
     n_outer = max(1, -(-icp_iterations // max(1, icp_solves_per_nn)))
     T, rmses = jax.lax.scan(icp_iter, T, None, length=n_outer)
-    return T, fitness, rmses[-1]
+    return unconjugate(T), fitness, rmses[-1]

@@ -250,6 +250,7 @@ def stream_register_pairs(
     fuse_device: bool = False,
     dense_features: bool = True,
     retry_below_fitness: float = 0.15,
+    retry_measure_warm: bool = False,
 ) -> StreamResult:
     """Register a manifest of PLY pairs, streaming disk -> device -> result.
 
@@ -298,6 +299,7 @@ def stream_register_pairs(
             sample_mode=sample_mode,
             dense_features=dense_features,
             retry_below_fitness=retry_below_fitness,
+            retry_measure_warm=retry_measure_warm,
         )
 
     out_T = np.zeros((n_pairs, 4, 4), np.float32)
@@ -430,7 +432,7 @@ def _symmetry_probe_retry(
     *,
     down_cap: int,
     workers: int | None,
-    icp_solves_per_nn: int,
+    measure_warm: bool = False,
     retry_quantum: int = 16,
 ) -> float:
     """Re-ingest ``bad`` pairs and re-register through the escalation
@@ -439,10 +441,11 @@ def _symmetry_probe_retry(
     the ORIGINAL pose competing as a probe so results are monotone under
     the fine-count metric) in ONE batched dispatch per pad bucket (pair
     axis padded to ``retry_quantum`` multiples so repeated manifests reuse
-    a handful of compiled shapes).  Returns the WARM execution seconds of
-    the dispatch (a second timed run at the compiled program — the
-    steady-rate term; the caller's wall clock captures the one-time
-    compile separately, exactly like window 1's)."""
+    a handful of compiled shapes).  Returns the retry seconds to count
+    against the steady rate: with ``measure_warm`` a second timed run at
+    the compiled program (compile excluded, window-1 semantics — the
+    benchmark setting); otherwise the first dispatch's wall time
+    (compile-inclusive, no extra device work — the production setting)."""
     import jax.numpy as jnp
 
     pp = config.preprocess
@@ -482,12 +485,22 @@ def _symmetry_probe_retry(
             jnp.asarray(pts), jnp.asarray(masks), jnp.asarray(keys),
             jnp.asarray(init_T), nr, fr, dt, it_,
         )
+        t_d = time.monotonic()
         T, fit, rmse = fn(*args)
         T, fit, rmse = np.asarray(T), np.asarray(fit), np.asarray(rmse)
-        t_w = time.monotonic()
-        out2 = fn(*args)
-        np.asarray(out2[1])
-        warm_s += time.monotonic() - t_w
+        first_s = time.monotonic() - t_d
+        if measure_warm:
+            # Benchmark-only: one extra timed dispatch at the compiled
+            # program so the steady rate can exclude the one-time compile
+            # (window-1 semantics).  Production runs skip the re-execution
+            # and count the full (compile-inclusive) time instead —
+            # conservative, and half the device cost.
+            t_w = time.monotonic()
+            out2 = fn(*args)
+            np.asarray(out2[1])
+            warm_s += time.monotonic() - t_w
+        else:
+            warm_s += first_s
         for j in range(w):
             i = bad[idxs[j]]
             out_T[i], out_fit[i], out_rmse[i] = T[j], fit[j], rmse[j]
@@ -510,6 +523,7 @@ def _stream_fused(
     sample_mode: str,
     dense_features: bool = True,
     retry_below_fitness: float = 0.15,
+    retry_measure_warm: bool = False,
 ) -> StreamResult:
     """Fused-dispatch streaming consumer (see ``_fused_ingest_register``)."""
     import jax.numpy as jnp
@@ -609,7 +623,7 @@ def _stream_fused(
             retry_warm_s = _symmetry_probe_retry(
                 bad, pair_paths, config, out_T, out_fit, out_rmse,
                 down_cap=down_cap, workers=workers,
-                icp_solves_per_nn=icp_solves_per_nn,
+                measure_warm=retry_measure_warm,
             )
             retry_seconds = time.monotonic() - t_r
             retried = bad
@@ -730,6 +744,10 @@ def stream_quality(
     budget = max(1, round(0.005 * len(rot_errs)))
     worst_recovered = float(rot_errs[ok_mask].max()) if ok_mask.any() else float("inf")
     rmse_recovered = float(rmses[ok_mask].max()) if ok_mask.any() else float("inf")
+    # Gate: at most ``budget`` pairs over the 2-degree bar (the bar itself
+    # DEFINES "recovered", so a separate worst_recovered < 2 conjunct would
+    # be vacuous), every recovered pair under the RMSE bar, and at least
+    # one recovered pair.
     return {
         "rot_err_deg_worst_pair": float(rot_errs.max()),
         "rot_err_deg_worst_recovered": worst_recovered,
@@ -739,7 +757,7 @@ def stream_quality(
         "pairs_over_2deg": over2,
         "hard_pair_budget": budget,
         "quality_ok": bool(
-            over2 <= budget and worst_recovered < 2.0 and rmse_recovered < 0.1
+            over2 <= budget and bool(ok_mask.any()) and rmse_recovered < 0.1
         ),
     }
 
